@@ -1,0 +1,41 @@
+"""Test configuration: run JAX on a virtual 8-device CPU mesh.
+
+Must set the env vars before jax is imported anywhere; pytest imports
+conftest first, so this top-level code runs early enough as long as no test
+module imports jax at collection outside these tests.
+"""
+import os
+
+# Force CPU for tests (the ambient env routes JAX to the axon TPU tunnel);
+# NELE_TEST_PLATFORM=tpu opts back in for on-device smoke tests.
+os.environ["JAX_PLATFORMS"] = os.environ.get("NELE_TEST_PLATFORM", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# A pytest plugin may have imported jax before this conftest ran, so set the
+# platform through jax.config too (effective until a backend is initialised).
+jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+# Allow float64 in tests: library code follows input dtypes, so f64 inputs
+# give exact-parity checks against the float64 reference goldens while f32
+# inputs exercise TPU-realistic numerics.
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+GOLDEN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "goldens")
+
+
+@pytest.fixture(scope="session")
+def goldens():
+    def load(name):
+        path = os.path.join(GOLDEN_DIR, name + ".npz")
+        if not os.path.exists(path):
+            pytest.skip(f"golden fixture {name}.npz not generated")
+        return np.load(path)
+    return load

@@ -1,0 +1,184 @@
+"""Generate golden .npz fixtures by running the reference implementation.
+
+Run once (reference mounted at /root/reference); outputs are committed under
+tests/goldens/ so the test suite never needs the reference itself.
+
+  python tools/make_goldens.py [--only dsp|haspi|all]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import ref_shims  # noqa: E402
+
+GOLDEN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "..", "tests", "goldens")
+TOY_TRAIN_CLEAN = "/root/reference/toy_dataset/Train/Clean/f_hvd_100#Babble#-11.wav"
+TOY_TRAIN_NOISE = "/root/reference/toy_dataset/Train/Noise/f_hvd_100#Babble#-11.wav"
+TOY_TEST_CLEAN = "/root/reference/toy_dataset/Test/Clean/f_hvd_669#AirportAnnouncement#-9.wav"
+TOY_TEST_NOISE = "/root/reference/toy_dataset/Test/Noise/f_hvd_669#AirportAnnouncement#-9.wav"
+
+
+def gen_dsp():
+    """Band pooling, gain interpolation, IMCRA, features, ASL P.56."""
+    ref_shims.install()
+    import audio_util  # reference, via shims
+    import asl_P56 as ref_asl
+
+    rng = np.random.RandomState(0)
+
+    # --- ERB band energy + gain interpolation on random data ---
+    mag = rng.rand(37, 257).astype(np.float64) * 2.0
+    band_e = audio_util.compute_band_E(mag)
+    gains = np.stack([audio_util.interp_band_gain(b)
+                      for b in rng.rand(11, 64).astype(np.float64)])
+    np.savez(os.path.join(GOLDEN_DIR, "erb.npz"),
+             mag=mag, band_e=band_e,
+             band_gain_in=rng.rand(0),  # placeholder ordering note
+             )
+    # regenerate with explicit inputs for the gain test
+    gain_in = rng.rand(11, 64).astype(np.float64)
+    gains = np.stack([audio_util.interp_band_gain(b) for b in gain_in])
+    np.savez(os.path.join(GOLDEN_DIR, "erb.npz"),
+             mag=mag, band_e=band_e, gain_in=gain_in, gains=gains)
+
+    # --- IMCRA on the toy noise wav ---
+    noise, sr = ref_shims.load_wav(TOY_TRAIN_NOISE)
+    assert sr == 16000
+    spec = audio_util.STFT(noise.astype(np.float64))  # torch-backed stub
+    psd = audio_util.NoisePSD(spec)
+    np.savez(os.path.join(GOLDEN_DIR, "imcra.npz"),
+             spec_real=spec.real, spec_imag=spec.imag, psd=psd)
+
+    # --- Featurization goldens (composition incl. power-law) ---
+    clean, _ = ref_shims.load_wav(TOY_TRAIN_CLEAN)
+    cb, cmag, cphase = audio_util.Sp_and_phase_Speech(
+        clean.astype(np.float64), power=1 / 6, Normalization=True)
+    nb, nmag, nphase = audio_util.Sp_and_phase_Noise(
+        noise.astype(np.float64), power=1 / 6, Normalization=True)
+    np.savez(os.path.join(GOLDEN_DIR, "features.npz"),
+             clean=clean, noise=noise,
+             clean_band=cb, clean_mag=cmag, clean_phase=cphase,
+             noise_band=nb)
+
+    # --- Resynthesis golden: random band gains applied to the clean STFT ---
+    alpha2 = (0.5 + rng.rand(cb.shape[0], 64)).astype(np.float64)
+    wav = audio_util.SP_to_wav(alpha2, cmag, cphase)
+    np.savez(os.path.join(GOLDEN_DIR, "resyn.npz"),
+             alpha2=alpha2, wav=wav)
+
+    # --- ASL P.56 on the toy clean wav ---
+    asl_msq, actfact, c0 = ref_asl.asl_P56(clean.astype(np.float64), 16000, 16)
+    np.savez(os.path.join(GOLDEN_DIR, "asl_p56.npz"),
+             wav=clean, asl_msq=np.asarray(asl_msq).ravel(),
+             actfact=np.asarray(actfact).ravel(), c0=np.asarray(c0).ravel())
+    print("dsp goldens written")
+
+
+def gen_haspi():
+    """HASPI/HASQI ear-model goldens, noise sites zeroed for determinism.
+
+    Inputs are fed at 24 kHz (pre-resampled with scipy) so the golden isolates
+    the ear model + metric chain from the resampler, which is tested
+    separately against scipy.signal.resample_poly.
+    """
+    ref_shims.install(noiseless=True)
+    import scipy.signal
+    from pyHASPI import pyhaspi2 as ref
+
+    clean16, sr = ref_shims.load_wav(TOY_TRAIN_CLEAN)
+    noise16, _ = ref_shims.load_wav(TOY_TRAIN_NOISE)
+    n = min(len(clean16), len(noise16), 24000)  # 1.5 s at 16 kHz
+    clean16, noise16 = clean16[:n], noise16[:n]
+    x24 = scipy.signal.resample_poly(clean16, 3, 2)
+    y24 = scipy.signal.resample_poly(clean16 + noise16, 3, 2)
+
+    # component-level goldens
+    cfreq = ref.eb_CenterFreq(32)
+    attnOHC, bw, lowknee, cr, attnIHC = ref.eb_LossParameters(np.zeros(6), cfreq)
+    cfreq1 = ref.eb_CenterFreq(32, shift=0.02)
+    _, bw1, _, _, _ = ref.eb_LossParameters(100 * np.ones(6), cfreq1)
+    mid = ref.eb_MiddleEar(x24, 24000)
+
+    ch = 13
+    envx, envy = ref.eb_GammatoneEnv2(mid, bw1[ch], mid, bw1[ch], 24000, cfreq1[ch])
+    bwx = ref.eb_BWadjust(envx, bw[ch], bw1[ch], 65)
+    xenv, xbm, yenv, ybm = ref.eb_GammatoneBM2(mid, bwx, mid, bwx, 24000, cfreq[ch])
+    xc, xb = ref.eb_EnvCompressBM(xenv, xbm, envx, attnOHC[ch], lowknee[ch],
+                                  cr[ch], 24000, 65)
+    xc2, xb2 = ref.eb_EnvSL2(xc, xb, attnIHC[ch], 65)
+    xdb_ch, xbm_ch = ref.eb_IHCadapt(xc2, xb2, 2.0, 24000)
+
+    f32 = lambda v: np.asarray(v, dtype=np.float32)
+    np.savez_compressed(os.path.join(GOLDEN_DIR, "ear_components.npz"),
+                        x24=x24, y24=y24, cfreq=cfreq, cfreq1=cfreq1,
+                        attnOHC=attnOHC, bw=bw, lowknee=lowknee, cr=cr,
+                        attnIHC=attnIHC, bw1=bw1, mid=mid, ch=ch,
+                        envx_ctl=f32(envx), bwx=np.asarray(bwx),
+                        xenv=f32(xenv), xbm=f32(xbm), xc=f32(xc2), xb=f32(xb2),
+                        ihc_db=f32(xdb_ch), ihc_bm=f32(xbm_ch))
+
+    # full ear model + metric goldens (noiseless)
+    xdB, xBM, ydB, yBM, xSL, ySL, fsamp = ref.eb_EarModel(
+        x24, 24000, y24, 24000, np.zeros(6), 0, 65)
+    np.savez_compressed(os.path.join(GOLDEN_DIR, "ear_model.npz"),
+                        x24=x24, y24=y24, xSL=xSL, ySL=ySL,
+                        xdB=xdB.astype(np.float32), xBM=xBM.astype(np.float32),
+                        ydB=ydB.astype(np.float32), yBM=yBM.astype(np.float32))
+
+    v2, v2raw = ref.haspi_v2(x24, 24000, y24, 24000)
+    v1, v1raw = ref.haspi(x24, 24000, y24, 24000)
+    q2, q2n, q2l, q2raw = ref.hasqi_v2(x24, 24000, y24, 24000)
+    np.savez(os.path.join(GOLDEN_DIR, "haspi_scores.npz"),
+             x24=x24, y24=y24,
+             haspi_v2=np.float64(v2), haspi_v2_raw=np.asarray(v2raw),
+             haspi_v1=np.float64(v1), haspi_v1_raw=np.asarray(v1raw),
+             hasqi_v2=np.float64(q2), hasqi_nonlin=np.float64(q2n),
+             hasqi_linear=np.float64(q2l), hasqi_raw=np.asarray(q2raw))
+
+    # intermediate HASPI v2 modulation-chain goldens
+    fLP, fsub = 320, 8 * 320
+    xLP, yLP = ref.ebm_EnvFilt(xdB, ydB, fLP, fsub, fsamp)
+    xcep, ycep = ref.ebm_CepCoef(xLP, yLP, 2.5, 0.1, 6)  # dither noiseless
+    xmod, ymod, cfmod = ref.ebm_ModFilt(xcep, ycep, fsub)
+    avecm = ref.ebm_ModCorr(xmod, ymod)
+    np.savez_compressed(os.path.join(GOLDEN_DIR, "haspi_v2_chain.npz"),
+                        xLP=xLP.astype(np.float32), yLP=yLP.astype(np.float32),
+                        xcep=xcep.astype(np.float32),
+                        ycep=ycep.astype(np.float32),
+                        avecm=avecm, cfmod=cfmod)
+
+    # HASPI v1 / HASQI chain goldens
+    xsm = ref.eb_EnvSmooth(xdB, 16, fsamp)
+    ysm = ref.eb_EnvSmooth(ydB, 16, fsamp)
+    cepcorr, xy = ref.eb_melcor(xsm, ysm, 2.5, 0.0)
+    sigcov, msx, msy = ref.eb_BMcovary(xBM, yBM, 16, fsamp)
+    cov3, covSII = ref.eb_3LevelCovary(sigcov, msx, 2.5)
+    avecov, syncov = ref.eb_AveCovary2(sigcov, msx, 2.5)
+    dloud, dnorm, dslope = ref.eb_SpectDiff(xSL, ySL)
+    np.savez(os.path.join(GOLDEN_DIR, "haspi_v1_chain.npz"),
+             xsm=xsm, ysm=ysm, cepcorr=np.float64(cepcorr), xy=xy,
+             sigcov=sigcov, msx=msx, msy=msy, cov3=cov3, covSII=covSII,
+             avecov=np.float64(avecov), syncov=np.asarray(syncov),
+             dloud=dloud, dnorm=dnorm, dslope=dslope)
+    print("haspi goldens written")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", default="all", choices=["dsp", "haspi", "all"])
+    args = ap.parse_args()
+    os.makedirs(GOLDEN_DIR, exist_ok=True)
+    if args.only in ("dsp", "all"):
+        gen_dsp()
+    if args.only in ("haspi", "all"):
+        gen_haspi()
+
+
+if __name__ == "__main__":
+    main()
