@@ -1,0 +1,78 @@
+"""MetricGAN discriminators: spectral-norm conv trunks regressing true metrics.
+
+Re-design of the reference `Discriminator` / `Discriminator_Quality`
+(reference: model.py:101-166): five spectral-norm Conv2d layers
+(kernels 1/3/5/7/9, VALID padding), global average pooling, and a 3-layer
+spectral-norm MLP ending in a sigmoid.  The intelligibility head regresses
+(SIIB, HASPI, ESTOI); the quality head regresses (PESQ, ViSQOL).
+
+TPU-first deltas:
+  * NHWC layout ([B, 64 bands, T, C_img]);
+  * variable-length batching: the global average pool takes a per-sample
+    valid-frame count and masks the padded tail (the reference could not
+    batch at all, dataloader.py:90);
+  * power iteration runs inside the jitted train step via the mutable
+    "spectral" collection (see spectral_norm.py).
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from nelegan_tpu.models.spectral_norm import SNConv2D, SNDense
+
+
+class _DiscTrunk(nn.Module):
+    out_scores: int
+    channels: Tuple[int, ...] = (8, 16, 32, 48, 64)
+    kernels: Tuple[int, ...] = (1, 3, 5, 7, 9)
+    leaky_slope: float = 0.3
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, lengths: Optional[jnp.ndarray] = None,
+                 update_sn: bool = False) -> jnp.ndarray:
+        lrelu = lambda v: nn.leaky_relu(v, self.leaky_slope)
+        shrink = 0
+        for i, (c, k) in enumerate(zip(self.channels, self.kernels)):
+            x = SNConv2D(c, k, name=f"conv{i}")(x, update_sn)
+            x = lrelu(x)
+            shrink += k - 1
+
+        # global average pool over (bands, time), masking padded frames
+        if lengths is None:
+            pooled = jnp.mean(x, axis=(1, 2))
+        else:
+            valid_w = jnp.maximum(lengths - shrink, 1)          # [B]
+            t = x.shape[2]
+            mask = (jnp.arange(t)[None, :] < valid_w[:, None])  # [B, T']
+            mask = mask[:, None, :, None].astype(x.dtype)
+            denom = (x.shape[1] * valid_w).astype(x.dtype)
+            pooled = jnp.sum(x * mask, axis=(1, 2)) / denom[:, None]
+
+        h = lrelu(SNDense(64, name="fc1")(pooled, update_sn))
+        h = lrelu(SNDense(16, name="fc2")(h, update_sn))
+        return nn.sigmoid(SNDense(self.out_scores, name="fc3")(h, update_sn))
+
+
+class IntelDiscriminator(nn.Module):
+    """Input [B, 64, T, 3] = (enhanced, noise, clean) band images ->
+    [B, 3] predicted (SIIB, HASPI, ESTOI) in [0, 1]."""
+    leaky_slope: float = 0.3
+
+    @nn.compact
+    def __call__(self, x, lengths=None, update_sn: bool = False):
+        return _DiscTrunk(3, leaky_slope=self.leaky_slope,
+                          name="trunk")(x, lengths, update_sn)
+
+
+class QualityDiscriminator(nn.Module):
+    """Input [B, 64, T, 2] = (enhanced, clean) band images ->
+    [B, 2] predicted (PESQ, ViSQOL) in [0, 1]."""
+    leaky_slope: float = 0.3
+
+    @nn.compact
+    def __call__(self, x, lengths=None, update_sn: bool = False):
+        return _DiscTrunk(2, leaky_slope=self.leaky_slope,
+                          name="trunk")(x, lengths, update_sn)

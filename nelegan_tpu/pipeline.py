@@ -1,0 +1,189 @@
+"""End-to-end enhancement pipelines: featurize -> G -> beta^2 -> resynthesis.
+
+Two paths:
+
+  * `enhance_utterance` — reference-exact single-utterance inference
+    (reference: inference.py:80-115): centered STFT, IMCRA, generator mask,
+    utterance-level energy normalisation beta^2 = sum(clean^6) /
+    sum(mask * clean^6) (train_nele.py:133-138), band-gain resynthesis, and
+    the exact-RMS renormalisation to 0.03 (inference.py:109).
+
+  * `enhance_batch` — the TPU-native batched formulation the reference lacks
+    (it is locked to batch_size=1, dataloader.py:90).  Utterances are
+    reflect-padded *per utterance* on the host (data/pipeline.py) and then
+    zero-padded to a bucket length, so a center=False STFT over the batch
+    reproduces the reference's centered frames bit-for-bit for every valid
+    frame; all masking downstream is exact, not approximate.
+
+Frame-count bookkeeping (hop 256, n_fft 512, centered):
+  valid_frames(n)  = 1 + n // 256
+  output_length(n) = 256 * (n // 256)   # librosa iSTFT truncates the tail
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nelegan_tpu.config import Config, ImcraConfig
+from nelegan_tpu.dsp.stft import stft, hann_periodic
+from nelegan_tpu.dsp.erb import band_energy, interp_band_gain
+from nelegan_tpu.dsp.imcra import imcra_estimate_psd
+from nelegan_tpu.dsp.features import (featurize_speech, featurize_noise,
+                                      resynthesize, rms)
+from nelegan_tpu.models.generator import Generator
+
+N_FFT = 512
+HOP = 256
+
+
+def valid_frames(n_samples) -> jnp.ndarray:
+    return 1 + n_samples // HOP
+
+
+# ---------------------------------------------------------------------------
+# Reference-exact single-utterance path
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("p_power", "target_rms"))
+def enhance_utterance(gen_params, clean_wav: jnp.ndarray,
+                      noise_wav: jnp.ndarray, p_power: float = 1.0 / 6.0,
+                      target_rms: float = 0.03) -> jnp.ndarray:
+    """One utterance through the full reference inference path, jitted."""
+    clean_band, clean_mag, clean_phase = featurize_speech(clean_wav, p_power)
+    noise_band, _, _ = featurize_noise(noise_wav, p_power)
+
+    mask = Generator().apply({"params": gen_params},
+                             clean_band[None], noise_band[None])[0]
+    clean_power = clean_band ** (1.0 / p_power)
+    beta2 = jnp.sum(clean_power) / jnp.sum(mask * clean_power)
+    alpha2 = mask * beta2
+
+    wav = resynthesize(alpha2, clean_mag, clean_phase)
+    return wav / rms(wav) * target_rms
+
+
+# ---------------------------------------------------------------------------
+# Batched path
+# ---------------------------------------------------------------------------
+
+def reflect_pad_batch(wavs: list[np.ndarray], n_max: int | None = None):
+    """Host-side prep: per-utterance reflect pad (n_fft//2) then zero-pad to a
+    common buffer.  Returns (padded [B, n_max + n_fft], lengths [B])."""
+    pad = N_FFT // 2
+    lens = np.array([len(w) for w in wavs], np.int32)
+    n_max = int(n_max or lens.max())
+    out = np.zeros((len(wavs), n_max + N_FFT), np.float32)
+    for i, w in enumerate(wavs):
+        p = np.pad(w, (pad, pad), mode="reflect")
+        out[i, :len(p)] = p
+    return out, lens
+
+
+class BatchFeatures(NamedTuple):
+    clean_band: jnp.ndarray   # [B, T, 64]
+    noise_band: jnp.ndarray   # [B, T, 64]
+    clean_mag: jnp.ndarray    # [B, 257, T]
+    clean_phase: jnp.ndarray  # [B, 257, T]
+    frames: jnp.ndarray       # [B] valid frame counts
+    lengths: jnp.ndarray      # [B] sample counts
+
+
+@functools.partial(jax.jit, static_argnames=("p_power", "cfg"))
+def featurize_batch(clean_padded: jnp.ndarray, noise_padded: jnp.ndarray,
+                    lengths: jnp.ndarray, p_power: float = 1.0 / 6.0,
+                    cfg: ImcraConfig = ImcraConfig()) -> BatchFeatures:
+    """Batched featurization over host-pre-reflected utterances.
+
+    Valid frames are bit-equal to the reference's per-utterance centered
+    STFT; padded-tail frames are garbage and masked downstream.
+    """
+    cspec = stft(clean_padded, center=False)         # [B, 257, T]
+    nspec = stft(noise_padded, center=False)
+    cmag = jnp.abs(cspec)
+    cphase = jnp.angle(cspec)
+    cband = band_energy(jnp.swapaxes(cmag, -1, -2)) ** p_power
+    npsd = jax.vmap(lambda s: imcra_estimate_psd(s, cfg))(nspec)
+    nband = band_energy(jnp.sqrt(jnp.swapaxes(npsd, -1, -2))) ** p_power
+    return BatchFeatures(cband, nband, cmag, cphase,
+                         valid_frames(lengths), lengths)
+
+
+def frame_mask(frames: jnp.ndarray, t: int) -> jnp.ndarray:
+    """[B, t] 1.0 where the frame index is valid."""
+    return (jnp.arange(t)[None, :] < frames[:, None])
+
+
+def beta2_energy_norm(clean_band: jnp.ndarray, mask: jnp.ndarray,
+                      fmask: jnp.ndarray, inv_p: float = 6.0) -> jnp.ndarray:
+    """Utterance-level energy normalisation (reference train_nele.py:133-138),
+    masked over valid frames.  Returns [B, 1, 1]."""
+    clean_power = (clean_band ** inv_p) * fmask[..., None]
+    num = jnp.sum(clean_power, axis=(1, 2))
+    den = jnp.sum(mask * clean_power, axis=(1, 2))
+    return (num / den)[:, None, None]
+
+
+@jax.jit
+def istft_batch_tail_truncated(spec: jnp.ndarray,
+                               frames: jnp.ndarray) -> jnp.ndarray:
+    """Batched iSTFT for center=False spectrograms of pre-reflected signals.
+
+    Invalid frames (>= per-sample frame count) are zeroed before overlap-add;
+    within the valid output region every sample is covered by exactly two
+    frames, so the squared-window normaliser is a tiled 256-periodic constant.
+    Output sample i corresponds to original sample i; samples at or beyond
+    256*(frames-1) are zeroed (the reference iSTFT truncates there).
+    """
+    window = jnp.asarray(hann_periodic(N_FFT))
+    fr = jnp.fft.irfft(jnp.swapaxes(spec, -1, -2), n=N_FFT, axis=-1) * window
+    t = fr.shape[-2]
+    fr = fr * frame_mask(frames, t)[..., None]
+
+    # overlap-add: out[f*HOP : f*HOP+N_FFT] += frame f
+    a = fr[..., :HOP]                     # first half of each frame
+    b = fr[..., HOP:]                     # second half
+    b_shift = jnp.concatenate([jnp.zeros_like(b[:, :1]), b[:, :-1]], axis=1)
+    ola = (a + b_shift).reshape(fr.shape[0], t * HOP)
+
+    w2 = np.asarray(hann_periodic(N_FFT)) ** 2
+    wsq = jnp.asarray(w2[:HOP] + w2[HOP:])  # 256-periodic normaliser
+    y = ola / jnp.tile(wsq, t)
+    # drop the leading half-window (reflect padding) and zero the tail
+    y = y[:, HOP:]
+    n = y.shape[-1]
+    out_len = HOP * (frames - 1)          # [B]
+    keep = jnp.arange(n)[None, :] < out_len[:, None]
+    return jnp.where(keep, y, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("p_power", "target_rms"))
+def enhance_batch(gen_params, feats: BatchFeatures,
+                  p_power: float = 1.0 / 6.0,
+                  target_rms: float = 0.03):
+    """Batched enhancement: returns (wavs [B, n], alpha2 [B, T, 64], out_lens).
+
+    Matches the reference inference path per utterance (masked exactly), with
+    the whole batch running as one XLA program.
+    """
+    t = feats.clean_band.shape[1]
+    fmask = frame_mask(feats.frames, t).astype(feats.clean_band.dtype)
+    mask = Generator().apply({"params": gen_params},
+                             feats.clean_band, feats.noise_band)
+    beta2 = beta2_energy_norm(feats.clean_band, mask, fmask,
+                              inv_p=1.0 / p_power)
+    alpha2 = mask * beta2
+
+    gain = jnp.sqrt(interp_band_gain(alpha2))             # [B, T, 257]
+    spec = (feats.clean_mag * jnp.exp(1j * feats.clean_phase)
+            * jnp.swapaxes(gain, -1, -2))
+    wav = istft_batch_tail_truncated(spec, feats.frames)
+
+    out_len = HOP * (feats.frames - 1)
+    denom = jnp.sqrt(jnp.sum(wav * wav, axis=-1)
+                     / jnp.maximum(out_len, 1).astype(wav.dtype))
+    wav = wav / denom[:, None] * target_rms
+    return wav, alpha2, out_len

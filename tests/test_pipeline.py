@@ -1,0 +1,85 @@
+"""End-to-end pipeline tests: single-utterance vs reference torch+numpy,
+batched vs single."""
+import sys
+
+import numpy as np
+import pytest
+import torch
+
+sys.path.insert(0, "/root/reference")
+
+from nelegan_tpu.models import Generator, torch_generator_to_flax
+from nelegan_tpu import pipeline
+
+
+@pytest.fixture(scope="module")
+def gen_params():
+    import model as ref_model
+    torch.manual_seed(7)
+    g_ref = ref_model.Generator_Conv1D_cLN().eval()
+    return g_ref, torch_generator_to_flax(g_ref.state_dict())
+
+
+def _ref_enhance(g_ref, clean, noise):
+    """Reference inference path (inference.py:90-109) via the reference's own
+    numpy/torch code, with the librosa shims installed."""
+    sys.path.insert(0, "/root/repo/tools")
+    import ref_shims
+    ref_shims.install()
+    import audio_util
+
+    p = 1.0 / 6.0
+    cb, cm, cp = audio_util.Sp_and_phase_Speech(clean, power=p)
+    nb, _, _ = audio_util.Sp_and_phase_Noise(noise, power=p)
+    with torch.no_grad():
+        mask = g_ref(torch.from_numpy(cb[None]).float(),
+                     torch.from_numpy(nb[None]).float())
+        clean_power = torch.pow(torch.from_numpy(cb[None]).float(), 6)
+        beta2 = torch.sum(clean_power) / torch.sum(mask * clean_power)
+        alpha2 = (mask * beta2).squeeze(0).numpy()
+    wav = audio_util.SP_to_wav(alpha2.astype(np.float64), cm, cp)
+    return wav / np.sqrt(np.mean(wav ** 2)) * 0.03
+
+
+def _load_toy():
+    import scipy.io.wavfile as wavfile
+    _, c = wavfile.read(
+        "/root/reference/toy_dataset/Train/Clean/f_hvd_100#Babble#-11.wav")
+    _, n = wavfile.read(
+        "/root/reference/toy_dataset/Train/Noise/f_hvd_100#Babble#-11.wav")
+    return (c.astype(np.float64) / 32768.0, n.astype(np.float64) / 32768.0)
+
+
+def test_enhance_utterance_matches_reference(gen_params):
+    g_ref, params = gen_params
+    clean, noise = _load_toy()
+    ref_wav = _ref_enhance(g_ref, clean, noise)
+    ours = np.asarray(pipeline.enhance_utterance(
+        params, clean.astype(np.float32), noise.astype(np.float32)))
+    assert ours.shape == ref_wav.shape
+    # f32 network vs f32 reference network; DSP in f32 vs f64 -> ~1e-4 audio
+    err = np.abs(ours - ref_wav)
+    assert err.max() < 5e-4, err.max()
+    np.testing.assert_allclose(np.sqrt(np.mean(ours ** 2)), 0.03, rtol=1e-5)
+
+
+def test_enhance_batch_matches_single(gen_params):
+    _, params = gen_params
+    clean, noise = _load_toy()
+    # two different lengths in one bucket
+    c1, n1 = clean[:30000], noise[:30000]
+    c2, n2 = clean, noise
+    cp, lens = pipeline.reflect_pad_batch([c1, c2])
+    np_, _ = pipeline.reflect_pad_batch([n1, n2])
+    feats = pipeline.featurize_batch(cp, np_, lens)
+    wavs, alpha2, out_lens = pipeline.enhance_batch(params, feats)
+
+    for i, (c, n) in enumerate([(c1, n1), (c2, n2)]):
+        single = np.asarray(pipeline.enhance_utterance(
+            params, c.astype(np.float32), n.astype(np.float32)))
+        m = int(out_lens[i])
+        assert m == len(single)
+        np.testing.assert_allclose(np.asarray(wavs[i, :m]), single,
+                                   rtol=1e-3, atol=2e-5)
+        tail = np.asarray(wavs[i, m:])
+        assert tail.size == 0 or np.abs(tail).max() == 0.0
