@@ -1,0 +1,322 @@
+"""Kates auditory (ear) model, vmapped over 32 gammatone channels.
+
+JAX re-architecture of the reference ear model
+(reference: pyHASPI/pyhaspi2.py:1155-1248 `eb_EarModel` and its eb_* helpers).
+The reference runs a Python loop over 32 channels, each doing 8 scipy
+lfilter passes plus numba per-sample loops at 24 kHz; here every channel runs
+in parallel under `vmap` and every IIR recurrence is a log-depth associative
+scan (ops/iir.py):
+
+  * gammatone 4th-order filter = FIR(1 + 2a z^-1)^2 followed by four cascaded
+    one-poles (the reference's [1,a1,a5]/[1,-a1,-a2,-a3,-a4] coefficients,
+    pyhaspi2.py:871-877, factor exactly this way);
+  * the quadrature carrier is closed-form cos/-sin (the numba recursion
+    eb_CosSinCF, pyhaspi2.py:843-861, computes cos(n*w), -sin(n*w));
+  * the IHC adaptation RC circuit (numba loop, pyhaspi2.py:1028-1078) is a
+    constant-coefficient 2-state linear system: we eigendecompose its update
+    matrix once at trace time, turning it into two independent one-pole scans;
+  * group-delay compensation uses the analytic DC group delay of the
+    gammatone transfer function instead of scipy.signal.group_delay.
+
+Reference quirks preserved deliberately:
+  * eb_CenterFreq's `shift` branch requires a `placeholder` argument that is
+    never passed (pyhaspi2.py:762), so the control-path center frequencies
+    equal the signal-path ones;
+  * group-delay compensation uses the *reference* bandwidths BWx for both
+    ears (pyhaspi2.py:1239-1242);
+  * the stochastic BM noise (pyhaspi2.py:1091-1095) takes an explicit PRNG
+    key here, with noise_scale=0 reproducing the deterministic golden mode.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nelegan_tpu.ops.iir import one_pole, one_pole_cascade, biquad, fir
+
+FSAMP = 24000
+NCHAN = 32
+EAR_Q = 9.26449
+MIN_BW = 24.7
+
+
+def center_freq(nchan: int = NCHAN) -> np.ndarray:
+    """ERB-scale center frequencies (reference pyhaspi2.py:753-777)."""
+    low, high = 80.0, 8000.0
+    k = EAR_Q * MIN_BW
+    cf = -k + np.exp(np.arange(1, nchan) *
+                     (-np.log(high + k) + np.log(low + k)) / (nchan - 1)
+                     ) * (high + k)
+    cf = np.concatenate(([high], cf))
+    return cf[::-1].copy()
+
+
+def loss_parameters(hl: jnp.ndarray, cfreq: np.ndarray):
+    """Hearing-loss parameterisation (reference pyhaspi2.py:779-807)."""
+    aud = jnp.asarray([250.0, 500.0, 1000.0, 2000.0, 4000.0, 6000.0])
+    nfilt = len(cfreq)
+    fv = jnp.concatenate([jnp.asarray([cfreq[0]]), aud,
+                          jnp.asarray([cfreq[-1]])])
+    hv = jnp.concatenate([hl[:1], hl, hl[-1:]])
+    loss = jnp.maximum(jnp.interp(jnp.asarray(cfreq), fv, hv), 0.0)
+
+    cr = 1.25 + 2.25 * jnp.arange(nfilt) / (nfilt - 1)
+    max_ohc = 70.0 * (1.0 - 1.0 / cr)
+    thr_ohc = 1.25 * max_ohc
+    attn_ohc = jnp.where(loss < thr_ohc, 0.8 * loss, 0.8 * thr_ohc)
+    attn_ihc = jnp.where(loss < thr_ohc, 0.2 * loss,
+                         0.2 * thr_ohc + (loss - thr_ohc))
+    bw = 1.0 + attn_ohc / 50.0 + 2.0 * (attn_ohc / 50.0) ** 6
+    lowknee = attn_ohc + 30.0
+    upamp = 30.0 + 70.0 / cr
+    cr_out = (100.0 - lowknee) / (upamp + attn_ohc - lowknee)
+    return attn_ohc, bw, lowknee, cr_out, attn_ihc
+
+
+def middle_ear(x: jnp.ndarray) -> jnp.ndarray:
+    """2-stage middle-ear filter (reference pyhaspi2.py:833-841)."""
+    y = fir(x, jnp.asarray([0.434173751206302, 0.434173751206302], x.dtype))
+    y = one_pole(y, 0.131652497587396)
+    return biquad(y, [0.937260390269893, -1.874520780539785,
+                      0.937260390269893],
+                  [1.0, -1.870580640735279, 0.878460920344291])
+
+
+def _gammatone_coeffs(bw, cf, dtype):
+    erb = MIN_BW + cf / EAR_Q
+    tpt = 2.0 * jnp.pi / FSAMP
+    tpt_bw = bw * tpt * erb * 1.019
+    a = jnp.exp(-tpt_bw).astype(dtype)
+    a1, a5 = 4.0 * a, 4.0 * a * a
+    # The reference computes gain = 2*(1-a1-a2-a3-a4)/(1+a1+a5)
+    # (pyhaspi2.py:878); 1-a1-a2-a3-a4 is algebraically (1-a)^4 — the direct
+    # sum cancels catastrophically in f32 (a ~ 0.991 gives (1-a)^4 ~ 6e-9 vs
+    # ~4e-7 rounding), so use the factored form with a stable 1-a = -expm1.
+    one_minus_a = (-jnp.expm1(-tpt_bw)).astype(dtype)
+    gain = 2.0 * one_minus_a ** 4 / (1.0 + 2.0 * a) ** 2
+    return a, a1, a5, gain
+
+
+def _carrier(n: int, cf, dtype):
+    # closed form of the eb_CosSinCF recursion: cos(n*w), -sin(n*w)
+    w = 2.0 * jnp.pi * cf / FSAMP
+    t = jnp.arange(n, dtype=dtype)
+    return jnp.cos(w * t), -jnp.sin(w * t)
+
+
+def _gammatone_filter(x, a, a1, a5):
+    t = fir(x, jnp.stack([jnp.ones_like(a1), a1, a5]))
+    return one_pole_cascade(t, a, 4)
+
+
+def gammatone_env(x: jnp.ndarray, bw, cf) -> jnp.ndarray:
+    """Envelope of one gammatone channel (reference eb_GammatoneEnv2)."""
+    a, a1, a5, gain = _gammatone_coeffs(bw, cf, x.dtype)
+    cosc, sinc = _carrier(x.shape[-1], cf, x.dtype)
+    ureal = _gammatone_filter(x * cosc, a, a1, a5)
+    uimag = _gammatone_filter(x * sinc, a, a1, a5)
+    return gain * jnp.sqrt(ureal * ureal + uimag * uimag)
+
+
+def gammatone_bm(x: jnp.ndarray, bw, cf):
+    """(envelope, BM motion) of one channel (reference eb_GammatoneBM2)."""
+    a, a1, a5, gain = _gammatone_coeffs(bw, cf, x.dtype)
+    cosc, sinc = _carrier(x.shape[-1], cf, x.dtype)
+    ureal = _gammatone_filter(x * cosc, a, a1, a5)
+    uimag = _gammatone_filter(x * sinc, a, a1, a5)
+    env = gain * jnp.sqrt(ureal * ureal + uimag * uimag)
+    bm = gain * (ureal * cosc + uimag * sinc)
+    return env, bm
+
+
+def bw_adjust(control: jnp.ndarray, bw_min, bw_max, level1: float):
+    """Level-adaptive bandwidth (reference pyhaspi2.py:971-980)."""
+    c_rms = jnp.sqrt(jnp.mean(control * control))
+    c_db = 20.0 * jnp.log10(jnp.maximum(c_rms, 1e-30)) + level1
+    frac = jnp.clip((c_db - 50.0) / 50.0, 0.0, 1.0)
+    return bw_min + frac * (bw_max - bw_min)
+
+
+def env_compress_bm(env, bm, control, attn_ohc, thr_low, cr, level1):
+    """OHC compression with 800 Hz gain smoothing (pyhaspi2.py:982-999)."""
+    small = 1e-30
+    logenv = level1 + 20.0 * jnp.log10(jnp.maximum(control, small))
+    logenv = jnp.clip(logenv, thr_low, 100.0)
+    gain_db = -attn_ohc - (logenv - thr_low) * (1.0 - 1.0 / cr)
+    gain = 10.0 ** (gain_db / 20.0)
+    c = 0.095107983402496
+    d = 0.809784033195007
+    gain = one_pole(fir(gain, jnp.asarray([c, c], gain.dtype)), d)
+    return gain * env, gain * bm
+
+
+def env_sl2(env, bm, attn_ihc, level1):
+    """Convert envelope to dB SL (reference pyhaspi2.py:1080-1088)."""
+    small = 1e-30
+    y = level1 - attn_ihc + 20.0 * jnp.log10(env + small)
+    y = jnp.maximum(y, 0.0)
+    gain = (y + small) / (env + small)
+    return y, gain * bm
+
+
+@functools.lru_cache(maxsize=None)
+def _ihc_eigen(delta: float = 2.0, fsamp: int = FSAMP):
+    """Static eigendecomposition of the IHC adaptation circuit
+    (reference pyhaspi2.py:1028-1078)."""
+    tau1, tau2 = 0.002, 0.060
+    r1 = 1.0 / delta
+    r2 = 0.5 * (1.0 - r1)
+    r3 = r2
+    c1 = tau1 * (r1 + r2) / (r1 * r2)
+    c2 = tau2 / ((r1 + r2) * r3)
+    t = 1.0 / fsamp
+    a11 = r1 + r2 + r1 * r2 * (c1 / t)
+    a12 = -r1
+    a21 = -r3
+    a22 = r2 + r3 + r2 * r3 * (c2 / t)
+    denom = 1.0 / (a11 * a22 - a21 * a12)
+    r12c1 = r1 * r2 * (c1 / t)
+    r23c2 = r2 * r3 * (c2 / t)
+    m = denom * np.array([[a22 * r12c1, -a12 * r23c2],
+                          [-a21 * r12c1, a11 * r23c2]])
+    w = denom * np.array([a22 * r2, -a21 * r2])
+    evals, p = np.linalg.eig(m)
+    pinv_w = np.linalg.solve(p, w)
+    # V1[n] = P[0, :] @ z[n], z_i[n] = evals_i * z_i[n-1] + pinv_w_i * V0[n]
+    return evals, p[0], pinv_w, 1.0 / r1
+
+
+def ihc_adapt(xdb: jnp.ndarray, xbm: jnp.ndarray, delta: float = 2.0):
+    """IHC rapid/short-term adaptation via two one-pole eigenscans."""
+    evals, p0, pinv_w, r1_inv = _ihc_eigen(delta)
+    small = 1e-30
+    v1 = jnp.zeros_like(xdb)
+    for lam, p0i, wi in zip(evals, p0, pinv_w):
+        zi = one_pole(wi * xdb, float(lam))
+        v1 = v1 + p0i * zi
+    out = jnp.maximum((xdb - v1) * r1_inv, 0.0)
+    gain = (out + small) / (xdb + small)
+    return out, gain * xbm
+
+
+def _dc_group_delay(bw, cf):
+    """Analytic group delay at DC of the gammatone (reference uses
+    scipy.signal.group_delay at w=1 point == DC, pyhaspi2.py:1098-1121).
+
+    For B = (1 + 2a z^-1)^2, A = (1 - a z^-1)^4 the DC group delay is
+    tau_B - tau_A = 4a/(1+2a) + 4a/(1-a) — the factored form avoids the
+    f32-catastrophic (1-a)^4 cancellation of the raw coefficient sums."""
+    erb = MIN_BW + cf / EAR_Q
+    tpt = 2.0 * jnp.pi / FSAMP
+    tpt_bw = bw * tpt * erb * 1.019
+    a = jnp.exp(-tpt_bw)
+    one_minus_a = -jnp.expm1(-tpt_bw)
+    return jnp.round(4.0 * a / (1.0 + 2.0 * a) + 4.0 * a / one_minus_a)
+
+
+def group_delay_comp(env: jnp.ndarray, bw, cfreq) -> jnp.ndarray:
+    """Right-shift each channel so group delays align (pyhaspi2.py:1098-1131).
+
+    env: [nchan, n]; bw: [nchan]."""
+    gd = _dc_group_delay(bw, jnp.asarray(cfreq, env.dtype))
+    correct = (jnp.max(gd) - gd).astype(jnp.int32)      # [nchan]
+    n = env.shape[-1]
+    idx = jnp.arange(n)[None, :] - correct[:, None]
+    take = jnp.take_along_axis(env, jnp.clip(idx, 0, n - 1), axis=-1)
+    return jnp.where(idx >= 0, take, 0.0)
+
+
+def ave_sl(env, control, attn_ohc, thr_low, cr, attn_ihc, level1):
+    """Average dB SL (reference pyhaspi2.py:1135-1152)."""
+    small = 1e-30
+    logenv = jnp.clip(level1 + 20.0 * jnp.log10(jnp.maximum(control, small)),
+                      thr_low, 100.0)
+    gain = -attn_ohc - (logenv - thr_low) * (1.0 - 1.0 / cr)
+    logenv2 = jnp.maximum(
+        level1 + 20.0 * jnp.log10(jnp.maximum(env, small)), 0.0)
+    return jnp.maximum(logenv2 + gain - attn_ihc, 0.0)
+
+
+class EarOutputs(NamedTuple):
+    xdb: jnp.ndarray   # [nchan, n] reference envelope, dB SL, IHC-adapted
+    xbm: jnp.ndarray   # [nchan, n] reference BM motion
+    ydb: jnp.ndarray
+    ybm: jnp.ndarray
+    xsl: jnp.ndarray   # [nchan] average dB SL
+    ysl: jnp.ndarray
+
+
+@functools.partial(jax.jit, static_argnames=("itype", "level1",
+                                             "noise_scale"))
+def ear_model(x24: jnp.ndarray, y24: jnp.ndarray,
+              hl: jnp.ndarray | None = None, itype: int = 0,
+              level1: float = 65.0, key: jax.Array | None = None,
+              noise_scale: float = 0.0) -> EarOutputs:
+    """Full binaural-input ear model on 24 kHz signals.
+
+    Matches reference eb_EarModel (pyhaspi2.py:1155-1248) with explicit
+    randomness: noise_scale=1.0 + key reproduces the stochastic BM noise,
+    noise_scale=0.0 is the deterministic mode used for golden parity.
+    """
+    if hl is None:
+        hl = jnp.zeros(6, x24.dtype)
+    cfreq = center_freq(NCHAN)
+    hlx = 0.0 * hl if itype == 0 else hl
+    attn_ohc_x, bw_min_x, lowknee_x, cr_x, attn_ihc_x = loss_parameters(
+        hlx, cfreq)
+    attn_ohc_y, bw_min_y, lowknee_y, cr_y, attn_ihc_y = loss_parameters(
+        hl, cfreq)
+    # control path: HL=100 bandwidths; cfreq1 == cfreq (reference quirk)
+    _, bw1, _, _, _ = loss_parameters(jnp.full(6, 100.0, x24.dtype), cfreq)
+
+    xmid = middle_ear(x24)
+    ymid = middle_ear(y24)
+    cfreq_j = jnp.asarray(cfreq, x24.dtype)
+
+    def channel(cf, bw1_n, bw_min_xn, bw_min_yn, aohc_x, aohc_y, lk_x, lk_y,
+                cr_xn, cr_yn, aihc_x, aihc_y):
+        xctl = gammatone_env(xmid, bw1_n, cf)
+        yctl = gammatone_env(ymid, bw1_n, cf)
+        bwx = bw_adjust(xctl, bw_min_xn, bw1_n, level1)
+        bwy = bw_adjust(yctl, bw_min_yn, bw1_n, level1)
+        xenv, xbm = gammatone_bm(xmid, bwx, cf)
+        yenv, ybm = gammatone_bm(ymid, bwy, cf)
+        xave = jnp.sqrt(jnp.mean(xenv * xenv))
+        yave = jnp.sqrt(jnp.mean(yenv * yenv))
+        xcave = jnp.sqrt(jnp.mean(xctl * xctl))
+        ycave = jnp.sqrt(jnp.mean(yctl * yctl))
+        xc, xb = env_compress_bm(xenv, xbm, xctl, aohc_x, lk_x, cr_xn, level1)
+        yc, yb = env_compress_bm(yenv, ybm, yctl, aohc_y, lk_y, cr_yn, level1)
+        xc, xb = env_sl2(xc, xb, aihc_x, level1)
+        yc, yb = env_sl2(yc, yb, aihc_y, level1)
+        xdb, xb = ihc_adapt(xc, xb)
+        ydb, yb = ihc_adapt(yc, yb)
+        return xdb, xb, ydb, yb, xave, yave, xcave, ycave, bwx
+
+    outs = jax.vmap(channel)(
+        cfreq_j, bw1, bw_min_x, bw_min_y, attn_ohc_x, attn_ohc_y,
+        lowknee_x, lowknee_y, cr_x, cr_y, attn_ihc_x, attn_ihc_y)
+    xdb, xbm, ydb, ybm, xave, yave, xcave, ycave, bwx = outs
+
+    if noise_scale != 0.0:
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        ihc_thr = -10.0
+        gn = noise_scale * 10.0 ** ((ihc_thr - level1) / 20.0)
+        k1, k2 = jax.random.split(key)
+        xbm = xbm + gn * jax.random.normal(k1, xbm.shape, xbm.dtype)
+        ybm = ybm + gn * jax.random.normal(k2, ybm.shape, ybm.dtype)
+
+    # reference uses BWx for all four group-delay compensations
+    xdb = group_delay_comp(xdb, bwx, cfreq)
+    ydb = group_delay_comp(ydb, bwx, cfreq)
+    xbm = group_delay_comp(xbm, bwx, cfreq)
+    ybm = group_delay_comp(ybm, bwx, cfreq)
+
+    xsl = ave_sl(xave, xcave, attn_ohc_x, lowknee_x, cr_x, attn_ihc_x, level1)
+    ysl = ave_sl(yave, ycave, attn_ohc_y, lowknee_y, cr_y, attn_ihc_y, level1)
+    return EarOutputs(xdb, xbm, ydb, ybm, xsl, ysl)
