@@ -1,0 +1,25 @@
+"""Logistic score calibrations mapping raw metrics into [0, 1] GAN targets.
+
+Reference: intel.py:102-160 and audio_util.py:259-262 — each metric's raw
+score passes through 1 / (1 + exp(a * (x - b))) before becoming a
+discriminator regression target.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from nelegan_tpu.config import MetricCalibration
+
+
+def logistic(x, a: float, b: float):
+    return 1.0 / (1.0 + jnp.exp(a * (x - b)))
+
+
+def make_mappers(calib: MetricCalibration = MetricCalibration()):
+    return {
+        "siib": lambda x: logistic(x, *calib.siib),
+        "haspi": lambda x: logistic(x, *calib.haspi),
+        "estoi": lambda x: logistic(x, *calib.estoi),
+        "pesq": lambda x: logistic(x, *calib.pesq),
+        "visqol": lambda x: logistic(x, *calib.visqol),
+    }

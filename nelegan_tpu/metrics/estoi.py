@@ -1,0 +1,138 @@
+"""Extended STOI (ESTOI) — differentiable, jittable, mask-based.
+
+The reference scores ESTOI through the pystoi package
+(reference: intel.py:8,122-134 `stoi(x, y, fs, extended=True)`), which is not
+vendorable here; this module re-implements the published algorithm
+(J. Jensen, C. H. Taal, "An Algorithm for Predicting the Intelligibility of
+Speech Masked by Modulated Noise Maskers", IEEE TASLP 2016) with pystoi's
+exact parameterisation: fs 10 kHz, 256/128 Hann frames, nfft 512, 15
+one-third-octave bands from 150 Hz, 40 dB silence removal, N=30-frame
+segments with row+column normalisation.
+
+TPU-first: the silence-removal *compaction* (dynamic in pystoi) becomes a
+stable-sort gather plus masks so the whole metric jits with static shapes;
+a vmap over utterance batches replaces the reference's 32-process joblib
+pool (reference: audio_util.py:145-147).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nelegan_tpu.dsp.resample import resample_poly
+
+FS = 10000
+N_FRAME = 256
+HOP = 128
+NFFT = 512
+NUMBAND = 15
+MINFREQ = 150.0
+N_SEG = 30
+DYN_RANGE = 40.0
+_EPS = np.finfo(np.float64).eps
+
+
+@functools.lru_cache(maxsize=None)
+def _third_octave_matrix() -> np.ndarray:
+    """15 x 257 one-third-octave band matrix (pystoi thirdoct)."""
+    f = np.linspace(0, FS, NFFT + 1)[: NFFT // 2 + 1]
+    k = np.arange(NUMBAND, dtype=float)
+    freq_low = MINFREQ * 2.0 ** ((2 * k - 1) / 6)
+    freq_high = MINFREQ * 2.0 ** ((2 * k + 1) / 6)
+    obm = np.zeros((NUMBAND, len(f)))
+    for i in range(NUMBAND):
+        fl = int(np.argmin(np.square(f - freq_low[i])))
+        fh = int(np.argmin(np.square(f - freq_high[i])))
+        obm[i, fl:fh] = 1.0
+    return obm
+
+
+def _hann_open(n: int) -> np.ndarray:
+    """np.hanning(n+2)[1:-1] — the open Hann pystoi uses."""
+    return np.hanning(n + 2)[1:-1]
+
+
+def _frame(x: jnp.ndarray, framelen: int, hop: int) -> jnp.ndarray:
+    """Frames starting at 0, hop, ... while start < n - framelen
+    (pystoi's exclusive range)."""
+    n = x.shape[-1]
+    nframes = max((n - framelen + hop - 1) // hop, 0)
+    # pystoi: range(0, len(x) - framelen, hop) -> ceil((n-framelen)/hop)
+    nframes = -(-(n - framelen) // hop) if n > framelen else 0
+    idx = np.arange(nframes)[:, None] * hop + np.arange(framelen)[None, :]
+    return x[..., idx]
+
+
+@jax.jit
+def estoi_10k(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """ESTOI on equal-length 10 kHz signals."""
+    dt = x.dtype
+    w = jnp.asarray(_hann_open(N_FRAME), dt)
+
+    xf = _frame(x, N_FRAME, HOP) * w          # [F, 256]
+    yf = _frame(y, N_FRAME, HOP) * w
+    nf = xf.shape[0]
+
+    energy = 20.0 * jnp.log10(jnp.linalg.norm(xf, axis=-1) + _EPS)
+    keep = energy > (jnp.max(energy) - DYN_RANGE)      # [F]
+    kcount = jnp.sum(keep)
+    order = jnp.argsort(~keep, stable=True)
+    xk = xf[order] * keep[order][:, None]
+    yk = yf[order] * keep[order][:, None]
+
+    # overlap-add the kept (windowed) frames back into a signal buffer
+    buf_len = (nf - 1) * HOP + N_FRAME
+    a_idx = (np.arange(nf)[:, None] * HOP
+             + np.arange(N_FRAME)[None, :]).reshape(-1)
+    x_sil = jnp.zeros((buf_len,), dt).at[a_idx].add(xk.reshape(-1))
+    y_sil = jnp.zeros((buf_len,), dt).at[a_idx].add(yk.reshape(-1))
+
+    # re-frame + rFFT (512) -> third-octave band envelopes
+    xsf = _frame(x_sil, N_FRAME, HOP) * w
+    ysf = _frame(y_sil, N_FRAME, HOP) * w
+    n_spec = xsf.shape[0]
+    valid_frames = kcount - 1                          # frames of x_sil
+    obm = jnp.asarray(_third_octave_matrix(), dt)
+    xs = jnp.abs(jnp.fft.rfft(xsf, NFFT, axis=-1)) ** 2   # [F', 257]
+    ys = jnp.abs(jnp.fft.rfft(ysf, NFFT, axis=-1)) ** 2
+    x_tob = jnp.sqrt(xs @ obm.T).T                     # [15, F']
+    y_tob = jnp.sqrt(ys @ obm.T).T
+
+    # N=30-frame sliding segments, masked to the valid region
+    n_segs = n_spec - N_SEG + 1
+    seg_idx = np.arange(n_segs)[:, None] + np.arange(N_SEG)[None, :]
+    xseg = x_tob[:, seg_idx].transpose(1, 0, 2)        # [S, 15, 30]
+    yseg = y_tob[:, seg_idx].transpose(1, 0, 2)
+    seg_valid = (jnp.arange(n_segs) + N_SEG) <= valid_frames
+
+    def row_col_normalize(s):
+        s = s - jnp.mean(s, axis=-1, keepdims=True)
+        s = s / jnp.maximum(
+            jnp.sqrt(jnp.sum(s * s, axis=-1, keepdims=True)), _EPS)
+        s = s - jnp.mean(s, axis=1, keepdims=True)
+        s = s / jnp.maximum(
+            jnp.sqrt(jnp.sum(s * s, axis=1, keepdims=True)), _EPS)
+        return s
+
+    xn = row_col_normalize(xseg)
+    yn = row_col_normalize(yseg)
+    corr = jnp.sum(xn * yn, axis=(1, 2)) / N_SEG       # [S]
+    return jnp.sum(corr * seg_valid) / jnp.maximum(jnp.sum(seg_valid), 1)
+
+
+def estoi(x, y, fs: int = 16000) -> jnp.ndarray:
+    """ESTOI with internal resampling (pystoi `stoi(..., extended=True)`
+    semantics).  Trims to the shorter signal like the reference wrappers
+    (intel.py:122-127)."""
+    n = min(x.shape[-1], y.shape[-1])
+    x = jnp.asarray(x)[..., :n]
+    y = jnp.asarray(y)[..., :n]
+    if fs != FS:
+        from math import gcd
+        g = gcd(FS, fs)
+        x = resample_poly(x, FS // g, fs // g)
+        y = resample_poly(y, FS // g, fs // g)
+    return estoi_10k(x, y)

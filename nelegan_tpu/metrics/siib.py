@@ -1,0 +1,171 @@
+"""SIIB^Gauss — speech intelligibility in bits (Gaussian capacity variant).
+
+The reference scores SIIB through the pysiib package
+(reference: intel.py:4,57-100 `SIIB(x, y, fs, gauss=True)`), which wraps the
+MATLAB reference of Van Kuyk, Kleijn & Hendriks.  That package is not
+vendorable here; this module re-derives the metric from the publications:
+
+  [1] S. Van Kuyk, W. B. Kleijn, R. C. Hendriks, "An instrumental
+      intelligibility metric based on information theory", IEEE SPL 2018.
+  [2] S. Van Kuyk et al., "An evaluation of intrusive instrumental
+      intelligibility metrics", IEEE/ACM TASLP 2018 (SIIB^Gauss).
+
+Pipeline: silence removal (40 dB) -> 400/200 Hann STFT -> 40-channel
+ERB-spaced gammatone log-energies -> per-band mean removal -> stacking of
+K=15 consecutive frames -> KLT (eigenvectors of the clean covariance) ->
+per-dimension correlation rho_j -> Gaussian channel capacity with speech
+production noise rho_p^2 = 0.75:
+
+    I = -0.5 * sum_j log2(1 - rho_p^2 * rho_j^2)   [bits / stacked vector]
+    SIIB = I * frame_rate / K                      [bits / s]
+
+Scores are used through the logistic calibration (a=-0.06, b=32,
+reference intel.py:102-106), which tolerates an affine re-derivation; the
+calibration constants live in config.MetricCalibration and can be refit.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nelegan_tpu.dsp.resample import resample_poly
+
+FS = 16000
+WIN = 400
+HOP = 200
+NFFT = 512
+J_BANDS = 40
+K_STACK = 15
+RHO_P2 = 0.75
+DYN_RANGE = 40.0
+_EPS = np.finfo(np.float64).eps
+
+
+def _erb_space(flow: float, fhigh: float, n: int) -> np.ndarray:
+    ear_q, min_bw = 9.26449, 24.7
+    lo = np.log(flow + ear_q * min_bw)
+    hi = np.log(fhigh + ear_q * min_bw)
+    return np.exp(np.linspace(lo, hi, n)) - ear_q * min_bw
+
+
+@functools.lru_cache(maxsize=None)
+def _gammatone_matrix() -> np.ndarray:
+    """[J, 257] squared-magnitude 4th-order gammatone responses, ERB-spaced
+    100 Hz .. 6500 Hz, row-normalised."""
+    f = np.linspace(0, FS / 2, NFFT // 2 + 1)
+    cf = _erb_space(100.0, 6500.0, J_BANDS)
+    erb = 24.7 + cf / 9.26449
+    g = np.zeros((J_BANDS, len(f)))
+    for j in range(J_BANDS):
+        # 4th-order gammatone magnitude response
+        g[j] = (1.0 + ((f - cf[j]) / (1.019 * erb[j])) ** 2) ** -4
+    g /= g.sum(axis=1, keepdims=True)
+    return g
+
+
+def _frame(x: jnp.ndarray, framelen: int, hop: int) -> jnp.ndarray:
+    n = x.shape[-1]
+    nframes = -(-(n - framelen) // hop) if n > framelen else 0
+    idx = np.arange(nframes)[:, None] * hop + np.arange(framelen)[None, :]
+    return x[..., idx]
+
+
+@jax.jit
+def siib_gauss_16k(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """SIIB^Gauss on equal-length 16 kHz signals (bits/s)."""
+    dt = x.dtype
+    w = jnp.asarray(np.hanning(WIN + 2)[1:-1], dt)
+    xf = _frame(x, WIN, HOP) * w
+    yf = _frame(y, WIN, HOP) * w
+    nf = xf.shape[0]
+
+    # silence removal on clean-signal energy, compacted to the front
+    energy = 20.0 * jnp.log10(jnp.linalg.norm(xf, axis=-1) + _EPS)
+    keep = energy > (jnp.max(energy) - DYN_RANGE)
+    kcount = jnp.sum(keep)
+    order = jnp.argsort(~keep, stable=True)
+    live = (jnp.arange(nf) < kcount)
+    xk = xf[order] * live[:, None]
+    yk = yf[order] * live[:, None]
+
+    g = jnp.asarray(_gammatone_matrix(), dt)
+    px = jnp.abs(jnp.fft.rfft(xk, NFFT, axis=-1)) ** 2      # [F, 257]
+    py = jnp.abs(jnp.fft.rfft(yk, NFFT, axis=-1)) ** 2
+    ex = jnp.log(px @ g.T + _EPS)                           # [F, J]
+    ey = jnp.log(py @ g.T + _EPS)
+
+    livef = live.astype(dt)[:, None]
+    cnt = jnp.maximum(kcount, 1).astype(dt)
+    ex = (ex - jnp.sum(ex * livef, 0) / cnt) * livef
+    ey = (ey - jnp.sum(ey * livef, 0) / cnt) * livef
+
+    # stack K consecutive frames (shift 1) -> [S, K*J]
+    s = nf - K_STACK + 1
+    idx = np.arange(s)[:, None] + np.arange(K_STACK)[None, :]
+    vx = ex[idx].reshape(s, K_STACK * J_BANDS)
+    vy = ey[idx].reshape(s, K_STACK * J_BANDS)
+    vlive = ((jnp.arange(s) + K_STACK) <= kcount).astype(dt)
+    scnt = jnp.maximum(jnp.sum(vlive), K_STACK * J_BANDS + 1.0)
+
+    vx = (vx - jnp.sum(vx * vlive[:, None], 0) / scnt) * vlive[:, None]
+    vy = (vy - jnp.sum(vy * vlive[:, None], 0) / scnt) * vlive[:, None]
+
+    # KLT from the clean covariance
+    cov = (vx.T @ vx) / scnt                                # [KJ, KJ]
+    _, u = jnp.linalg.eigh(cov)
+    kx = vx @ u                                             # [S, KJ]
+    ky = vy @ u
+
+    xs = jnp.sum(kx * kx, 0)
+    ys = jnp.sum(ky * ky, 0)
+    xy = jnp.sum(kx * ky, 0)
+    rho2 = (xy * xy) / jnp.maximum(xs * ys, _EPS)
+    rho2 = jnp.clip(rho2, 0.0, 1.0 - 1e-7)
+
+    bits_per_vec = -0.5 * jnp.sum(jnp.log2(1.0 - RHO_P2 * rho2))
+    frame_rate = FS / HOP
+    return bits_per_vec * frame_rate / K_STACK
+
+
+def _vad_mask(x: np.ndarray, window_length=400, window_shift=200,
+              delta_db=40.0) -> np.ndarray:
+    """Host-side VAD identical to the reference wrapper's get_vad
+    (intel.py:37-50): frame power percentile threshold."""
+    n = x.shape[-1]
+    if n < window_length + 1:
+        x = np.pad(x, (0, window_length + 1 - n))
+    nfr = (x.shape[-1] - window_length)
+    starts = np.arange(0, nfr, window_shift)
+    w = np.hanning(window_length + 2)[1:-1]
+    frames = np.stack([x[s:s + window_length] for s in starts]) * w
+    xdb = 10 * np.log10((frames ** 2).mean(axis=1) + _EPS)
+    ind = int(round(len(xdb) * 0.999) - 1)
+    max_x = np.partition(xdb, ind)[ind]
+    return xdb > (max_x - delta_db)
+
+
+def siib(x, y, fs: int = 16000, use_vad_tiling: bool = True) -> jnp.ndarray:
+    """SIIB^Gauss with the reference wrapper's tile-to-20s rule
+    (intel.py:79-100): if active speech is shorter than 20 s the pair is
+    tiled M = floor(25 / active_seconds) times before scoring."""
+    n = min(x.shape[-1], y.shape[-1])
+    x = np.asarray(x)[..., :n]
+    y = np.asarray(y)[..., :n]
+    if fs != FS:
+        from math import gcd
+        g = gcd(FS, fs)
+        x = np.asarray(resample_poly(jnp.asarray(x), FS // g, fs // g))
+        y = np.asarray(resample_poly(jnp.asarray(y), FS // g, fs // g))
+    if use_vad_tiling:
+        # reference: R = fs/shift; active frames / R compared to 20 s
+        vad = _vad_mask(x)
+        active_sec = vad.sum() / (FS / HOP)
+        if active_sec < 20:
+            m = int(np.floor(25.0 / max(active_sec, 0.25)))
+            m = max(m, 1)
+            x = np.tile(x, m)
+            y = np.tile(y, m)
+    return siib_gauss_16k(jnp.asarray(x), jnp.asarray(y))
