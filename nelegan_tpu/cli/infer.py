@@ -1,0 +1,108 @@
+"""Inference CLI — the `python inference.py` equivalent
+(reference: inference.py): enhance a test corpus with a trained generator,
+write PCM16 wavs at exact RMS 0.03, and report raw metric means per
+noise-type subset.
+
+    python -m nelegan_tpu.cli.infer \
+        --test-clean .../Test/Clean --test-noise .../Test/Noise \
+        --checkpoint ./chkpt [--torch-checkpoint chkpt_GD.pt] \
+        --output ./output_wav [--subsets Cafeteria,AirportAnnouncement]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--test-clean", required=True)
+    p.add_argument("--test-noise", required=True)
+    p.add_argument("--checkpoint", default=None,
+                   help="checkpoint dir or .msgpack file")
+    p.add_argument("--torch-checkpoint", default=None,
+                   help="reference chkpt_GD.pt")
+    p.add_argument("--output", default="./output_wav")
+    p.add_argument("--num-utts", type=int, default=960)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--metrics", default="siib,haspi,estoi,pesq,visqol")
+    p.add_argument("--subsets", default="Cafeteria,AirportAnnouncement")
+    p.add_argument("--platform", default=None)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+
+    if not (args.checkpoint or args.torch_checkpoint):
+        raise SystemExit("need --checkpoint or --torch-checkpoint")
+    import os as _os
+    if not _os.path.isdir(args.test_clean):
+        raise SystemExit(f"--test-clean {args.test_clean} is not a directory")
+
+    import numpy as np
+    import jax
+    from nelegan_tpu.config import Config
+    from nelegan_tpu import pipeline
+    from nelegan_tpu.data.pipeline import (BucketedLoader, CorpusIndex,
+                                           get_filepaths)
+    from nelegan_tpu.data.wavio import read_wav, write_wav_pcm16
+    from nelegan_tpu.metrics import score_pair
+    from nelegan_tpu.train import gan
+    from nelegan_tpu.train.checkpoint import (load_checkpoint,
+                                              load_reference_checkpoint)
+
+    cfg = Config()
+    state = gan.init_train_state(jax.random.PRNGKey(0), cfg)
+    if args.torch_checkpoint:
+        state = load_reference_checkpoint(args.torch_checkpoint, state)
+    elif args.checkpoint:
+        state, _, epoch, _ = load_checkpoint(args.checkpoint, state)
+        print(f"loaded checkpoint epoch {epoch}")
+    else:
+        raise SystemExit("need --checkpoint or --torch-checkpoint")
+
+    index = CorpusIndex(sorted(get_filepaths(args.test_clean))[
+        : args.num_utts], args.test_noise)
+    loader = BucketedLoader(index, batch_size=args.batch_size, shuffle=False)
+    os.makedirs(args.output, exist_ok=True)
+
+    written = []
+    for batch in loader():
+        feats = pipeline.featurize_batch(batch.clean, batch.noise,
+                                         batch.lengths, cfg.train.p_power)
+        wavs, _, out_lens = pipeline.enhance_batch(
+            state.gen_params, feats, cfg.train.p_power, cfg.train.target_rms)
+        wavs = np.asarray(wavs)
+        for i, name in enumerate(batch.names):
+            path = os.path.join(args.output, f"{name[:-4]}@1.wav")
+            write_wav_pcm16(path, wavs[i, :int(out_lens[i])], cfg.train.fs)
+            written.append(path)
+    print(f"enhanced {len(written)} utterances -> {args.output}")
+
+    metrics = tuple(m.strip() for m in args.metrics.split(",") if m.strip())
+    for subset in [s for s in args.subsets.split(",") if s]:
+        paths = [p for p in written if subset in p]
+        if not paths:
+            continue
+        accum = {m: [] for m in metrics}
+        for p in paths:
+            name = os.path.basename(p).split("@")[0] + ".wav"
+            clean, _ = read_wav(os.path.join(args.test_clean, name))
+            noise, _ = read_wav(os.path.join(args.test_noise, name))
+            enh, _ = read_wav(p)
+            s = score_pair(clean, noise, enh, cfg.train.fs, norm=False,
+                           metrics=metrics)
+            for m, v in s.items():
+                accum[m].append(v)
+        print(f"{subset}:")
+        print("  " + ", ".join(f"{m.upper()} is {np.mean(v):.3f}"
+                               for m, v in accum.items()))
+        print("======")
+
+
+if __name__ == "__main__":
+    main()

@@ -29,8 +29,10 @@ class CumulativeLayerNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # [B, T, C]
-        gain = self.param("gain", nn.initializers.ones, (self.features,))
-        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        gain = self.param("gain", nn.initializers.ones, (self.features,),
+                          x.dtype)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          x.dtype)
         c = x.shape[-1]
         t = x.shape[-2]
         cum_sum = jnp.cumsum(jnp.sum(x, axis=-1), axis=-1)        # [B, T]

@@ -60,8 +60,9 @@ class SNConv2D(nn.Module):
         k = self.kernel
         in_ch = x.shape[-1]
         w = self.param("weight_orig", nn.initializers.he_uniform(),
-                       (k, k, in_ch, self.features))
-        b = self.param("bias", nn.initializers.zeros, (self.features,))
+                       (k, k, in_ch, self.features), x.dtype)
+        b = self.param("bias", nn.initializers.zeros, (self.features,),
+                       x.dtype)
         # torch flattening order: [out, in, kh, kw] -> [out, -1]
         wmat = jnp.transpose(w, (3, 2, 0, 1)).reshape(self.features, -1)
         sigma = _spectral_weight(self, wmat, update_sn)
@@ -80,8 +81,9 @@ class SNDense(nn.Module):
     def __call__(self, x: jnp.ndarray, update_sn: bool = False) -> jnp.ndarray:
         in_dim = x.shape[-1]
         w = self.param("weight_orig", nn.initializers.he_uniform(),
-                       (in_dim, self.features))
-        b = self.param("bias", nn.initializers.zeros, (self.features,))
+                       (in_dim, self.features), x.dtype)
+        b = self.param("bias", nn.initializers.zeros, (self.features,),
+                       x.dtype)
         wmat = w.T  # torch layout [out, in]
         sigma = _spectral_weight(self, wmat, update_sn)
         return x @ (w / sigma) + b

@@ -1,0 +1,6 @@
+from nelegan_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh,
+    shard_batch,
+    shard_params,
+    replicate,
+)

@@ -1,0 +1,77 @@
+"""Device mesh and sharding strategy.
+
+The reference has no distributed execution at all — its parallelism is a
+32-process CPU pool for metric scoring plus 8 DataLoader workers
+(reference: audio_util.py:146, dataloader.py:89-97; SURVEY §2).  The
+TPU-native strategy:
+
+  * **data axis (dp)** — the utterance batch shards over devices; gradients
+    reduce over ICI via the psums XLA inserts for the jitted loss mean.
+    This is the dominant axis: utterances are independent in every phase
+    (G step, D step, validation scoring).
+  * **model axis (tp)** — channel/feature dimensions of the conv stacks
+    shard over a second axis (generator hidden=256, discriminator widths
+    8..64 are all divisible); XLA inserts all-gathers between stages.
+  * sequence parallelism is deliberately *not* sharded across devices: the
+    long-sequence compute here is IIR recurrences (IMCRA, gammatone, IHC),
+    which parallelise over time *within* a device as log-depth associative
+    scans (ops/iir.py) — cross-device scan pipelining would trade ICI
+    latency per step for no FLOP savings at these sizes (SURVEY §5).
+
+All entry points take explicit `Mesh` objects; nothing global.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None, model_parallel: int = 1,
+              devices: Optional[Sequence[Any]] = None) -> Mesh:
+    """('data', 'model') mesh over the first n_devices devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    assert n % model_parallel == 0, (n, model_parallel)
+    grid = np.array(devices).reshape(n // model_parallel, model_parallel)
+    return Mesh(grid, ("data", "model"))
+
+
+def shard_batch(mesh: Mesh, tree: Any) -> Any:
+    """Shard every array leaf along axis 0 over the data axis."""
+    def put(x):
+        spec = P("data") if getattr(x, "ndim", 0) >= 1 else P()
+        return jax.device_put(x, NamedSharding(mesh, spec))
+    return jax.tree.map(put, tree)
+
+
+def _param_spec(path_unused, x, axis_size: int) -> P:
+    if x.ndim >= 1 and x.shape[-1] % axis_size == 0 and x.shape[-1] > 1:
+        # shard the output-channel / feature dimension
+        return P(*([None] * (x.ndim - 1) + ["model"]))
+    return P()
+
+
+def shard_params(mesh: Mesh, params: Any) -> Any:
+    """Tensor-parallel placement: last (feature) axis over 'model' where
+    divisible, replicated otherwise."""
+    axis = mesh.shape["model"]
+
+    def put(x):
+        if not hasattr(x, "ndim"):
+            return x
+        return jax.device_put(x, NamedSharding(
+            mesh, _param_spec(None, x, axis)))
+    return jax.tree.map(put, params)
+
+
+def replicate(mesh: Mesh, tree: Any) -> Any:
+    def put(x):
+        if not hasattr(x, "ndim"):
+            return x
+        return jax.device_put(x, NamedSharding(mesh, P()))
+    return jax.tree.map(put, tree)

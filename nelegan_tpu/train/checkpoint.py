@@ -1,0 +1,83 @@
+"""Checkpointing: full training state, resumable.
+
+The reference saves only the G and D weight dicts per epoch and resumes by
+hand-editing code (reference: train_nele.py:76-85, 272-277) — optimizer
+state, epoch counter, RNG, and the replay list are lost on restart.  Here a
+checkpoint is the *complete* state: all three models (params + spectral-norm
+vectors), all three optimiser states, step counters, the PRNG key, the epoch
+number, and the replay buffer; `load_checkpoint` resumes exactly.
+
+Format: msgpack (flax.serialization) for the pytree + a small JSON sidecar,
+one file per epoch plus a `latest` symlink.  `load_reference_checkpoint`
+additionally accepts the reference's torch chkpt_*.pt files via
+models/convert.py.
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import serialization
+
+from nelegan_tpu.train.gan import TrainState
+
+
+def save_checkpoint(directory: str, epoch: int, state: TrainState,
+                    rng: jax.Array, replay_json: str = "[]",
+                    extra: Optional[Dict[str, Any]] = None) -> str:
+    os.makedirs(directory, exist_ok=True)
+    path = os.path.join(directory, f"chkpt_{epoch}.msgpack")
+    blob = serialization.to_bytes({
+        "state": state._asdict(),
+        "rng": np.asarray(jax.random.key_data(rng)),
+    })
+    with open(path, "wb") as f:
+        f.write(blob)
+    meta = {"epoch": epoch, "replay": replay_json, "extra": extra or {}}
+    with open(path + ".json", "w") as f:
+        json.dump(meta, f)
+    latest = os.path.join(directory, "latest")
+    tmp = latest + ".tmp"
+    if os.path.lexists(tmp):
+        os.remove(tmp)
+    os.symlink(os.path.basename(path), tmp)
+    os.replace(tmp, latest)
+    return path
+
+
+def load_checkpoint(path: str, template_state: TrainState
+                    ) -> Tuple[TrainState, jax.Array, int, str]:
+    """-> (state, rng, epoch, replay_json).  `path` may be the directory
+    (uses `latest`) or a specific .msgpack file."""
+    if os.path.isdir(path):
+        path = os.path.join(path, "latest")
+    path = os.path.realpath(path)
+    with open(path, "rb") as f:
+        blob = f.read()
+    target = {"state": template_state._asdict(),
+              "rng": np.zeros(2, np.uint32)}
+    restored = serialization.from_bytes(target, blob)
+    state = TrainState(**restored["state"])
+    rng = jax.random.wrap_key_data(jnp.asarray(restored["rng"]))
+    with open(path + ".json") as f:
+        meta = json.load(f)
+    return state, rng, int(meta["epoch"]), meta.get("replay", "[]")
+
+
+def load_reference_checkpoint(path: str, state: TrainState) -> TrainState:
+    """Load a reference torch chkpt_*.pt into the matching slots."""
+    from nelegan_tpu.models.convert import load_torch_checkpoint
+    blobs = load_torch_checkpoint(path)
+    if "generator" in blobs:
+        state = state._replace(gen_params=blobs["generator"])
+    if "intel" in blobs:
+        state = state._replace(d_params=blobs["intel"]["params"],
+                               d_spectral=blobs["intel"]["spectral"])
+    if "quality" in blobs:
+        state = state._replace(dq_params=blobs["quality"]["params"],
+                               dq_spectral=blobs["quality"]["spectral"])
+    return state

@@ -1,0 +1,190 @@
+"""Jitted multi-metric GAN training steps.
+
+Re-architecture of the reference's per-utterance torch loops
+(reference: train_nele.py:122-156 G step, :342-426 D steps): each step here
+is one XLA program over a *bucketed batch* of utterances — featurization
+(STFT + IMCRA scan), generator forward, energy normalisation, discriminator
+forward, loss, and optimiser update all fused under a single jit.  Exact
+reference semantics:
+
+  * G loss = MSE(D(enh, noise, clean), 1) + 0.5 * MSE(D_Qua(enh, clean), 1)
+    (train_nele.py:152, weight_qua=0.5);
+  * beta^2 utterance-level energy normalisation (train_nele.py:133-138);
+  * the discriminators run in train mode during the G step, so their
+    spectral-norm power iterations advance (torch modules stay in train());
+  * D and D_Qua train with separate Adam optimisers (train_nele.py:89-91).
+
+Padded frames are masked exactly: the generator is causal (padding cannot
+leak backwards), the band images are zeroed past each utterance's frame
+count, and the discriminators' global pool excludes every conv output whose
+receptive field touches padding.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from nelegan_tpu.config import Config
+from nelegan_tpu.models.generator import Generator
+from nelegan_tpu.models.discriminator import (IntelDiscriminator,
+                                              QualityDiscriminator)
+from nelegan_tpu.pipeline import (BatchFeatures, frame_mask,
+                                  beta2_energy_norm, featurize_batch)
+from nelegan_tpu.dsp.stft import stft
+from nelegan_tpu.dsp.erb import band_energy
+
+
+class TrainState(NamedTuple):
+    gen_params: Any
+    gen_opt: Any
+    d_params: Any
+    d_spectral: Any
+    d_opt: Any
+    dq_params: Any
+    dq_spectral: Any
+    dq_opt: Any
+    step_g: jnp.ndarray
+    step_d: jnp.ndarray
+
+
+def _optims(cfg: Config):
+    return (optax.adam(cfg.train.lr_g), optax.adam(cfg.train.lr_d),
+            optax.adam(cfg.train.lr_dqua))
+
+
+def init_train_state(key: jax.Array, cfg: Config = Config(),
+                     gen_params: Any = None) -> TrainState:
+    kg, kd, kq = jax.random.split(key, 3)
+    nb = cfg.model.n_bands
+    dummy_band = jnp.zeros((1, 40, nb), jnp.float32)
+    dummy_img3 = jnp.zeros((1, nb, 40, 3), jnp.float32)
+    dummy_img2 = jnp.zeros((1, nb, 40, 2), jnp.float32)
+
+    if gen_params is None:
+        gen_params = Generator().init(kg, dummy_band, dummy_band)["params"]
+    d_vars = IntelDiscriminator().init(kd, dummy_img3)
+    dq_vars = QualityDiscriminator().init(kq, dummy_img2)
+
+    opt_g, opt_d, opt_dq = _optims(cfg)
+    return TrainState(
+        gen_params=gen_params,
+        gen_opt=opt_g.init(gen_params),
+        d_params=d_vars["params"],
+        d_spectral=d_vars["spectral"],
+        d_opt=opt_d.init(d_vars["params"]),
+        dq_params=dq_vars["params"],
+        dq_spectral=dq_vars["spectral"],
+        dq_opt=opt_dq.init(dq_vars["params"]),
+        step_g=jnp.zeros((), jnp.int32),
+        step_d=jnp.zeros((), jnp.int32),
+    )
+
+
+def _band_images(enh, noise, clean, fmask):
+    """[B, T, 64] bands -> zero-padded [B, 64, T, C] discriminator images."""
+    def img(b):
+        return (b * fmask[..., None]).transpose(0, 2, 1)
+    stacked3 = jnp.stack([img(enh), img(noise), img(clean)], axis=-1)
+    stacked2 = jnp.stack([img(enh), img(clean)], axis=-1)
+    return stacked3, stacked2
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def g_step(state: TrainState, feats: BatchFeatures,
+           cfg: Config = Config()):
+    """One generator update over a bucketed batch.  Returns (state, loss)."""
+    p = cfg.train.p_power
+    t = feats.clean_band.shape[1]
+    fmask = frame_mask(feats.frames, t).astype(feats.clean_band.dtype)
+    target = jnp.ones((feats.clean_band.shape[0], 3),
+                      feats.clean_band.dtype)
+    target_q = jnp.ones((feats.clean_band.shape[0], 2),
+                        feats.clean_band.dtype)
+
+    def loss_fn(gen_params):
+        mask = Generator(
+            hidden=cfg.model.gen_hidden, n_bands=cfg.model.n_bands,
+            leaky_slope=cfg.model.leaky_slope,
+            mask_bound=cfg.model.mask_bound).apply(
+            {"params": gen_params}, feats.clean_band, feats.noise_band)
+        beta2 = beta2_energy_norm(feats.clean_band, mask, fmask,
+                                  inv_p=cfg.train.inv_p)
+        beta_p = beta2 ** p
+        enh_band = feats.clean_band * (mask ** p) * beta_p
+        ref_band = jax.lax.stop_gradient(feats.clean_band)
+
+        img3, img2 = _band_images(enh_band, feats.noise_band, ref_band, fmask)
+        score, d_spec = IntelDiscriminator().apply(
+            {"params": state.d_params, "spectral": state.d_spectral},
+            img3, feats.frames, update_sn=True, mutable=["spectral"])
+        score_q, dq_spec = QualityDiscriminator().apply(
+            {"params": state.dq_params, "spectral": state.dq_spectral},
+            img2, feats.frames, update_sn=True, mutable=["spectral"])
+        loss = (jnp.mean((score - target) ** 2)
+                + cfg.train.weight_qua * jnp.mean((score_q - target_q) ** 2))
+        return loss, (d_spec["spectral"], dq_spec["spectral"])
+
+    (loss, (d_spec, dq_spec)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True)(state.gen_params)
+    opt_g, _, _ = _optims(cfg)
+    updates, gen_opt = opt_g.update(grads, state.gen_opt, state.gen_params)
+    gen_params = optax.apply_updates(state.gen_params, updates)
+    return state._replace(gen_params=gen_params, gen_opt=gen_opt,
+                          d_spectral=d_spec, dq_spectral=dq_spec,
+                          step_g=state.step_g + 1), loss
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def featurize_triple(enh_padded, noise_padded, clean_padded, lengths,
+                     cfg: Config = Config()):
+    """Featurize a (enhanced, noise, clean) wav triple batch into the
+    discriminator image tensors (reference: dataloader.py:54-84).
+
+    All inputs are reflect-prepadded [B, n + 512] buffers.
+    """
+    p = cfg.train.p_power
+    feats = featurize_batch(clean_padded, noise_padded, lengths, p)
+    espec = stft(enh_padded, center=False)
+    eband = band_energy(jnp.abs(jnp.swapaxes(espec, -1, -2))) ** p
+    t = eband.shape[1]
+    fmask = frame_mask(feats.frames, t).astype(eband.dtype)
+    img3, img2 = _band_images(eband, feats.noise_band, feats.clean_band,
+                              fmask)
+    return img3, img2, feats.frames
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def d_step(state: TrainState, img3, img2, frames, targets, targets_q,
+           cfg: Config = Config()):
+    """One discriminator update (both heads, separate optimisers).
+    Returns (state, loss_d, loss_dq)."""
+    def loss_d_fn(d_params):
+        score, d_spec = IntelDiscriminator().apply(
+            {"params": d_params, "spectral": state.d_spectral},
+            img3, frames, update_sn=True, mutable=["spectral"])
+        return jnp.mean((score - targets) ** 2), d_spec["spectral"]
+
+    def loss_dq_fn(dq_params):
+        score, dq_spec = QualityDiscriminator().apply(
+            {"params": dq_params, "spectral": state.dq_spectral},
+            img2, frames, update_sn=True, mutable=["spectral"])
+        return jnp.mean((score - targets_q) ** 2), dq_spec["spectral"]
+
+    (loss_d, d_spec), gd = jax.value_and_grad(
+        loss_d_fn, has_aux=True)(state.d_params)
+    (loss_dq, dq_spec), gq = jax.value_and_grad(
+        loss_dq_fn, has_aux=True)(state.dq_params)
+
+    _, opt_d, opt_dq = _optims(cfg)
+    upd_d, d_opt = opt_d.update(gd, state.d_opt, state.d_params)
+    d_params = optax.apply_updates(state.d_params, upd_d)
+    upd_q, dq_opt = opt_dq.update(gq, state.dq_opt, state.dq_params)
+    dq_params = optax.apply_updates(state.dq_params, upd_q)
+    return state._replace(
+        d_params=d_params, d_spectral=d_spec, d_opt=d_opt,
+        dq_params=dq_params, dq_spectral=dq_spec, dq_opt=dq_opt,
+        step_d=state.step_d + 1), loss_d, loss_dq

@@ -1,0 +1,300 @@
+"""The multi-metric GAN training loop.
+
+Library-form re-architecture of the reference driver script
+(reference: train_nele.py:110-429), preserving its phase structure per epoch:
+
+  1. sample `num_sampling` training utterances;
+  2. [epoch >= 2] generator updates with both discriminators frozen-but-
+     power-iterating (train_nele.py:122-156);
+  3. validation: enhance `num_valid` test utterances, write PCM16 wavs
+     (first 20 kept per-epoch for listening), score the five true metrics,
+     append log.txt and learning-curve PNGs (train_nele.py:159-270);
+  4. checkpoint (here: complete resumable state, not just weights);
+  5. enhance the sampled utterances for discriminator training and write
+     them to disk (PCM16 round trip preserved — D sees exactly what a
+     listener-side decoder would, train_nele.py:279-316);
+  6. score them (and the pre-enhanced parallel corpus if configured) with
+     the calibrated metrics (train_nele.py:318-340);
+  7. three discriminator passes: current, past-replay/30 + current, current
+     again (train_nele.py:342-426).
+
+Differences, all TPU-motivated: utterances run in bucketed batches instead
+of batch-of-1; featurization and metric scoring happen on-device instead of
+in 8 DataLoader processes + a 32-process joblib pool; everything is
+resumable from a single checkpoint.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+import random
+import shutil
+import time
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import numpy as np
+
+from nelegan_tpu.config import Config
+from nelegan_tpu import pipeline
+from nelegan_tpu.data.pipeline import (BucketedLoader, CorpusIndex,
+                                       get_filepaths)
+from nelegan_tpu.data.wavio import read_wav, write_wav_pcm16
+from nelegan_tpu.metrics import score_pair, ALL_METRICS
+from nelegan_tpu.train import gan
+from nelegan_tpu.train.checkpoint import save_checkpoint, load_checkpoint
+from nelegan_tpu.train.replay import ReplayBuffer, ReplayEntry
+
+
+@dataclasses.dataclass
+class TrainPaths:
+    train_clean: str
+    train_noise: str
+    test_clean: str
+    test_noise: str
+    train_enhanced: Optional[str] = None   # pre-enhanced (SSDRC) corpus
+    output: str = "./output"
+    checkpoints: str = "./chkpt"
+    log_file: str = "./log.txt"
+
+
+class Trainer:
+    def __init__(self, paths: TrainPaths, cfg: Config = Config(),
+                 metric_set: Sequence[str] = ALL_METRICS,
+                 valid_metric_set: Optional[Sequence[str]] = None):
+        self.paths = paths
+        self.cfg = cfg
+        self.metric_set = tuple(metric_set)
+        self.valid_metric_set = tuple(valid_metric_set or metric_set)
+        self.rng = random.Random(cfg.train.seed)
+        self.key = jax.random.PRNGKey(cfg.train.seed)
+
+        train_paths = sorted(get_filepaths(paths.train_clean))
+        test_paths = sorted(get_filepaths(paths.test_clean))
+        if not train_paths:
+            raise FileNotFoundError(
+                f"no .wav files under --train-clean {paths.train_clean}")
+        if not test_paths:
+            raise FileNotFoundError(
+                f"no .wav files under --test-clean {paths.test_clean}")
+        self.train_index = CorpusIndex(train_paths, paths.train_noise,
+                                       extra_dir=paths.train_enhanced)
+        self.test_index = CorpusIndex(test_paths, paths.test_noise)
+        self.loader = BucketedLoader(self.train_index,
+                                     batch_size=cfg.train.batch_size,
+                                     seed=cfg.train.seed)
+        self.state = gan.init_train_state(self.key, cfg)
+        self.replay = ReplayBuffer(cfg.train.seed)
+        self.start_epoch = 1
+        self.history: Dict[str, List[float]] = {m: [] for m in
+                                                self.valid_metric_set}
+
+    # ------------------------------------------------------------------
+    def resume(self, path: Optional[str] = None):
+        path = path or self.paths.checkpoints
+        self.state, self.key, epoch, replay_json = load_checkpoint(
+            path, self.state)
+        self.replay.load_state_dict(replay_json)
+        self.start_epoch = epoch + 1
+
+    # ------------------------------------------------------------------
+    def _enhance_batches(self, index: CorpusIndex, paths: Sequence[str]):
+        """Yield (names, wavs [B, n], out_lens) over bucketed batches."""
+        loader = BucketedLoader(index, batch_size=self.cfg.train.batch_size,
+                                shuffle=False)
+        for group_paths in loader._batches(paths):
+            batch = loader.load_group(group_paths)
+            feats = pipeline.featurize_batch(batch.clean, batch.noise,
+                                             batch.lengths,
+                                             self.cfg.train.p_power)
+            wavs, _, out_lens = pipeline.enhance_batch(
+                self.state.gen_params, feats, self.cfg.train.p_power,
+                self.cfg.train.target_rms)
+            yield batch.names, np.asarray(wavs), np.asarray(out_lens)
+
+    def _write_enhanced(self, index: CorpusIndex, paths: Sequence[str],
+                        out_dir: str, epoch: int,
+                        keep_first: int = 10 ** 9,
+                        alt_dir: Optional[str] = None) -> List[str]:
+        os.makedirs(out_dir, exist_ok=True)
+        if alt_dir:
+            os.makedirs(alt_dir, exist_ok=True)
+        written = []
+        count = 0
+        for names, wavs, out_lens in self._enhance_batches(index, paths):
+            for i, name in enumerate(names):
+                base = f"{name[:-4]}@{epoch}{name[-4:]}"
+                target = out_dir if count < keep_first else alt_dir
+                p = os.path.join(target, base)
+                write_wav_pcm16(p, wavs[i, :out_lens[i]], self.cfg.train.fs)
+                written.append(p)
+                count += 1
+        return written
+
+    def _score_files(self, index: CorpusIndex, enhanced_paths: Sequence[str],
+                     norm: bool, metrics: Sequence[str]
+                     ) -> List[Dict[str, float]]:
+        out = []
+        for p in enhanced_paths:
+            base = os.path.basename(p)
+            name = base.split("@")[0] + ".wav" if "@" in base else base
+            clean, _ = read_wav(os.path.join(
+                os.path.dirname(index.clean_paths[0]), name))
+            noise, _ = read_wav(os.path.join(index.noise_dir, name))
+            enh, _ = read_wav(p)
+            out.append(score_pair(clean, noise, enh, self.cfg.train.fs,
+                                  norm=norm, metrics=metrics))
+        return out
+
+    # ------------------------------------------------------------------
+    def train_generator_epoch(self, sampled: Sequence[str]) -> float:
+        losses = []
+        for batch in self.loader(sampled):
+            feats = pipeline.featurize_batch(batch.clean, batch.noise,
+                                             batch.lengths,
+                                             self.cfg.train.p_power)
+            self.state, loss = gan.g_step(self.state, feats, self.cfg)
+            losses.append(float(loss))
+        return float(np.mean(losses)) if losses else 0.0
+
+    def validate(self, epoch: int) -> Dict[str, float]:
+        n_valid = min(self.cfg.train.num_valid, len(self.test_index))
+        valid_paths = self.test_index.clean_paths[:n_valid]
+        ep_dir = os.path.join(self.paths.output, f"epoch{epoch}",
+                              f"Test_epoch{epoch}")
+        tmp_dir = os.path.join(self.paths.output, "temp")
+        written = self._write_enhanced(self.test_index, valid_paths, ep_dir,
+                                       epoch, keep_first=20, alt_dir=tmp_dir)
+        scores = self._score_files(self.test_index, written, norm=False,
+                                   metrics=self.valid_metric_set)
+        means = {m: float(np.mean([s[m] for s in scores]))
+                 for m in self.valid_metric_set}
+        for m, v in means.items():
+            self.history[m].append(v)
+        self._log(epoch, means)
+        return means
+
+    def _log(self, epoch: int, means: Dict[str, float]):
+        get = lambda m: means.get(m, 0.0)
+        with open(self.paths.log_file, "a") as f:
+            f.write("SIIB is %.3f, HASPI is %.3f, ESTOI is %.3f, "
+                    "PESQ is %.3f, VISQOL is %.3f, EPOCH:%d \n"
+                    % (get("siib"), get("haspi"), get("estoi"),
+                       get("pesq"), get("visqol"), epoch))
+        try:
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+            for m, hist in self.history.items():
+                if not hist:
+                    continue
+                fig = plt.figure(figsize=(6, 4))
+                plt.plot(range(1, len(hist) + 1), hist)
+                plt.xlabel("GAN_epoch")
+                plt.ylabel(m.upper())
+                plt.grid(True)
+                plt.savefig(f"Test_{m.upper()}.png", dpi=100)
+                plt.close(fig)
+        except Exception:
+            pass
+
+    def train_discriminator_pass(self, entries: Sequence[ReplayEntry]):
+        """One pass over a list of scored enhanced utterances."""
+        entries = list(entries)
+        self.rng.shuffle(entries)
+        bs = self.cfg.train.batch_size
+        losses = []
+        # group by bucketed length to share compilations
+        def blen(e):
+            from nelegan_tpu.data.pipeline import _bucket_len
+            return _bucket_len(self.train_index.length(os.path.join(
+                os.path.dirname(self.train_index.clean_paths[0]), e.name)))
+        entries.sort(key=blen)
+        for i in range(0, len(entries), bs):
+            group = entries[i:i + bs]
+            clean_dir = os.path.dirname(self.train_index.clean_paths[0])
+            cleans, noises, enhs, lens = [], [], [], []
+            for e in group:
+                c, _ = read_wav(os.path.join(clean_dir, e.name))
+                n, _ = read_wav(os.path.join(self.train_index.noise_dir,
+                                             e.name))
+                eh, _ = read_wav(e.enhanced_path)
+                m = min(len(c), len(n), len(eh))
+                cleans.append(c[:m]); noises.append(n[:m]); enhs.append(eh[:m])
+                lens.append(m)
+            from nelegan_tpu.data.pipeline import _bucket_len
+            nmax = _bucket_len(max(lens))
+            cp, lengths = pipeline.reflect_pad_batch(cleans, nmax)
+            np_, _ = pipeline.reflect_pad_batch(noises, nmax)
+            ep, _ = pipeline.reflect_pad_batch(enhs, nmax)
+            img3, img2, frames = gan.featurize_triple(ep, np_, cp, lengths,
+                                                      self.cfg)
+            targets = np.array([e.scores[:3] for e in group], np.float32)
+            targets_q = np.array([e.scores[3:5] for e in group], np.float32)
+            self.state, ld, lq = gan.d_step(self.state, img3, img2, frames,
+                                            targets, targets_q, self.cfg)
+            losses.append((float(ld), float(lq)))
+        return losses
+
+    # ------------------------------------------------------------------
+    def run_epoch(self, epoch: int) -> Dict[str, float]:
+        t0 = time.time()
+        os.makedirs(self.paths.output, exist_ok=True)
+        disc_dir = os.path.join(self.paths.output,
+                                "For_discriminator_training")
+
+        sampled = list(self.train_index.clean_paths)
+        self.rng.shuffle(sampled)
+        sampled = sampled[: self.cfg.train.num_sampling]
+
+        g_loss = 0.0
+        if epoch >= 2:
+            g_loss = self.train_generator_epoch(sampled)
+
+        means = self.validate(epoch)
+
+        # discriminator data generation + scoring
+        written = self._write_enhanced(self.train_index, sampled, disc_dir,
+                                       epoch)
+        gen_scores = self._score_files(self.train_index, written, norm=True,
+                                       metrics=self.metric_set)
+        order = list(ALL_METRICS)
+        current = [ReplayEntry(p, os.path.basename(p).split("@")[0] + ".wav",
+                               [s.get(m, 0.5) for m in order])
+                   for p, s in zip(written, gen_scores)]
+
+        if self.train_index.extra_dir:
+            extra_paths = [self.train_index.extra_path(p) for p in sampled]
+            extra_scores = self._score_files(self.train_index, extra_paths,
+                                             norm=True,
+                                             metrics=self.metric_set)
+            current += [ReplayEntry(p, os.path.basename(p),
+                                    [s.get(m, 0.5) for m in order])
+                        for p, s in zip(extra_paths, extra_scores)]
+
+        # three D passes: current / past+current / current
+        self.train_discriminator_pass(current)
+        past = self.replay.sample_fraction(self.cfg.train.replay_fraction)
+        self.train_discriminator_pass(past + current)
+        self.replay.extend(current)
+        self.train_discriminator_pass(current)
+
+        # checkpoint the complete end-of-epoch state (the reference saves
+        # only G/D weights mid-epoch, train_nele.py:272-277; saving after
+        # the D passes makes resume exact, including the replay list)
+        save_checkpoint(self.paths.checkpoints, epoch, self.state, self.key,
+                        self.replay.state_dict())
+
+        tmp = os.path.join(self.paths.output, "temp")
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+        means["g_loss"] = g_loss
+        means["epoch_seconds"] = time.time() - t0
+        return means
+
+    def run(self, epochs: Optional[int] = None):
+        end = (epochs or self.cfg.train.gan_epochs) + 1
+        for epoch in range(self.start_epoch, end):
+            means = self.run_epoch(epoch)
+            print(f"Epoch {epoch} finished: "
+                  + ", ".join(f"{k}={v:.4f}" for k, v in means.items()))
