@@ -256,11 +256,19 @@ def ear_model(x24: jnp.ndarray, y24: jnp.ndarray,
               hl: jnp.ndarray | None = None, itype: int = 0,
               level1: float = 65.0, key: jax.Array | None = None,
               noise_scale: float = 0.0) -> EarOutputs:
-    """Full binaural-input ear model on 24 kHz signals.
+    """Full binaural-input ear model on 24 kHz signals — FFT formulation.
 
     Matches reference eb_EarModel (pyhaspi2.py:1155-1248) with explicit
     randomness: noise_scale=1.0 + key reproduces the stochastic BM noise,
     noise_scale=0.0 is the deterministic mode used for golden parity.
+
+    TPU formulation: every per-channel filter (gammatone control/signal
+    cascades, 800 Hz compression smoother, IHC adaptation circuit) is an LTI
+    system with a closed-form impulse response, so filtering is exact FFT
+    convolution (ops.iir.fft_causal_conv) — the quadrature carrier spectra
+    are computed once per channel and reused by the control and signal
+    filters, collapsing the reference's ~700 dependent lfilter/numba scans
+    into a handful of large batched FFTs.
     """
     if hl is None:
         hl = jnp.zeros(6, x24.dtype)
@@ -277,24 +285,77 @@ def ear_model(x24: jnp.ndarray, y24: jnp.ndarray,
     ymid = middle_ear(y24)
     cfreq_j = jnp.asarray(cfreq, x24.dtype)
 
+    from nelegan_tpu.ops.iir import (_fft_len, gammatone_ir, one_pole_ir,
+                                     exp_sum_ir)
+    n = x24.shape[-1]
+    m = _fft_len(n)
+    dt = x24.dtype
+
+    # IHC adaptation: closed-form V1 impulse response (two exponentials)
+    evals, p0, pinv_w, r1_inv = _ihc_eigen()
+    ihc_ir = exp_sum_ir(list(evals), [p0[i] * pinv_w[i] for i in range(2)],
+                        n, dt)
+    ihc_f = jnp.fft.rfft(ihc_ir, m)
+    # 800 Hz compression-gain smoother: lfilter([c, c], [1, -d], .)
+    c800, d800 = 0.095107983402496, 0.809784033195007
+    op = one_pole_ir(d800, n, dt)
+    smooth_ir = c800 * (op + jnp.concatenate(
+        [jnp.zeros_like(op[:1]), op[:-1]]))
+    smooth_f = jnp.fft.rfft(smooth_ir, m)
+
+    small = 1e-30
+
     def channel(cf, bw1_n, bw_min_xn, bw_min_yn, aohc_x, aohc_y, lk_x, lk_y,
                 cr_xn, cr_yn, aihc_x, aihc_y):
-        xctl = gammatone_env(xmid, bw1_n, cf)
-        yctl = gammatone_env(ymid, bw1_n, cf)
-        bwx = bw_adjust(xctl, bw_min_xn, bw1_n, level1)
-        bwy = bw_adjust(yctl, bw_min_yn, bw1_n, level1)
-        xenv, xbm = gammatone_bm(xmid, bwx, cf)
-        yenv, ybm = gammatone_bm(ymid, bwy, cf)
-        xave = jnp.sqrt(jnp.mean(xenv * xenv))
-        yave = jnp.sqrt(jnp.mean(yenv * yenv))
-        xcave = jnp.sqrt(jnp.mean(xctl * xctl))
-        ycave = jnp.sqrt(jnp.mean(yctl * yctl))
-        xc, xb = env_compress_bm(xenv, xbm, xctl, aohc_x, lk_x, cr_xn, level1)
-        yc, yb = env_compress_bm(yenv, ybm, yctl, aohc_y, lk_y, cr_yn, level1)
-        xc, xb = env_sl2(xc, xb, aihc_x, level1)
-        yc, yb = env_sl2(yc, yb, aihc_y, level1)
-        xdb, xb = ihc_adapt(xc, xb)
-        ydb, yb = ihc_adapt(yc, yb)
+        cosc, sinc = _carrier(n, cf, dt)
+
+        def ear_side(mid, bw_min_n, aohc, lk, cr_n, aihc):
+            # carrier demodulation spectra, shared by control + signal
+            xc_f = jnp.fft.rfft(mid * cosc, m)
+            xs_f = jnp.fft.rfft(mid * sinc, m)
+
+            def gfilter(bw):
+                a, _, _, gain = _gammatone_coeffs(bw, cf, dt)
+                h_f = jnp.fft.rfft(gammatone_ir(a, n, dt), m)
+                ur = jnp.fft.irfft(xc_f * h_f, m)[..., :n]
+                ui = jnp.fft.irfft(xs_f * h_f, m)[..., :n]
+                return gain, ur, ui
+
+            g1, ur1, ui1 = gfilter(bw1_n)
+            ctl = g1 * jnp.sqrt(ur1 * ur1 + ui1 * ui1)
+            bw_sig = bw_adjust(ctl, bw_min_n, bw1_n, level1)
+            gs, ur, ui = gfilter(bw_sig)
+            env = gs * jnp.sqrt(ur * ur + ui * ui)
+            bm = gs * (ur * cosc + ui * sinc)
+
+            ave = jnp.sqrt(jnp.mean(env * env))
+            cave = jnp.sqrt(jnp.mean(ctl * ctl))
+
+            # OHC compression with smoothed gain (env_compress_bm, FFT form)
+            logenv = level1 + 20.0 * jnp.log10(jnp.maximum(ctl, small))
+            logenv = jnp.clip(logenv, lk, 100.0)
+            gain_db = -aohc - (logenv - lk) * (1.0 - 1.0 / cr_n)
+            gain = 10.0 ** (gain_db / 20.0)
+            gain = jnp.fft.irfft(jnp.fft.rfft(gain, m) * smooth_f, m)[..., :n]
+            envc = gain * env
+            bmc = gain * bm
+
+            # dB SL conversion (env_sl2)
+            ydb_ = jnp.maximum(
+                level1 - aihc + 20.0 * jnp.log10(envc + small), 0.0)
+            bmc = bmc * (ydb_ + small) / (envc + small)
+
+            # IHC adaptation: V1 is linear in the input; the output clamp
+            # and gain are elementwise (pyhaspi2.py:1065-1077)
+            v1 = jnp.fft.irfft(jnp.fft.rfft(ydb_, m) * ihc_f, m)[..., :n]
+            out = jnp.maximum((ydb_ - v1) * r1_inv, 0.0)
+            bm_out = bmc * (out + small) / (ydb_ + small)
+            return out, bm_out, ave, cave, bw_sig
+
+        xdb, xb, xave, xcave, bwx = ear_side(xmid, bw_min_xn, aohc_x, lk_x,
+                                             cr_xn, aihc_x)
+        ydb, yb, yave, ycave, _ = ear_side(ymid, bw_min_yn, aohc_y, lk_y,
+                                           cr_yn, aihc_y)
         return xdb, xb, ydb, yb, xave, yave, xcave, ycave, bwx
 
     outs = jax.vmap(channel)(

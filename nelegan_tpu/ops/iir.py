@@ -39,12 +39,145 @@ def one_pole(x: jnp.ndarray, a, axis: int = -1) -> jnp.ndarray:
     return y
 
 
-def one_pole_cascade(x: jnp.ndarray, a, order: int, axis: int = -1):
-    """`order` identical one-pole stages in cascade."""
+def one_pole_blocked(x: jnp.ndarray, a, block: int = 128) -> jnp.ndarray:
+    """y[n] = x[n] + a*y[n-1] along the last axis, MXU formulation.
+
+    The recurrence splits into `block`-sized chunks: within a chunk the
+    solution is a lower-triangular matmul with T[i, j] = a^(i-j) (a dense
+    [block, block] matrix the MXU eats directly), and the chunk boundary
+    carries compose as a tiny scalar scan of length T/block:
+
+        z_b   = T @ x_b                      (batched matmul, MXU)
+        c_b   = z_b[-1] + a^block * c_{b-1}  (scalar scan)
+        y_b   = z_b + a^(i+1) * c_{b-1}      (elementwise)
+
+    ~block x more MACs than the O(T log T) associative scan but they run on
+    the systolic array instead of shuffle-heavy VPU passes — the faster
+    choice for the 24 kHz auditory-model filters on TPU.  `a` is a scalar
+    (per-channel values arrive via vmap).
+    """
+    a = jnp.asarray(a, x.dtype)
+    n = x.shape[-1]
+    nb = -(-n // block)
+    pad = nb * block - n
+    xb = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+    lead = xb.shape[:-1]
+    xb = xb.reshape(lead + (nb, block))
+
+    i = jnp.arange(block)
+    powers = a ** i                                    # a^0 .. a^(block-1)
+    tri = jnp.where(i[:, None] >= i[None, :],
+                    a ** (i[:, None] - i[None, :]).astype(x.dtype), 0.0)
+    z = jnp.einsum("ij,...bj->...bi", tri, xb,
+                   preferred_element_type=x.dtype)
+
+    # carries: c_b = z_b[-1] + a^block * c_{b-1}
+    a_blk = a ** block
+
+    def combine(lhs, rhs):
+        ga, fa = lhs
+        gb, fb = rhs
+        return ga * gb, fb + gb * fa
+
+    gains = jnp.broadcast_to(a_blk, z.shape[:-1])
+    _, carries = jax.lax.associative_scan(combine, (gains, z[..., -1]),
+                                          axis=-1)
+    prev_carry = jnp.concatenate(
+        [jnp.zeros_like(carries[..., :1]), carries[..., :-1]], axis=-1)
+    y = z + (a * powers) * prev_carry[..., None]
+    return y.reshape(lead + (nb * block,))[..., :n]
+
+
+def one_pole_cascade(x: jnp.ndarray, a, order: int, axis: int = -1,
+                     blocked: bool | None = None):
+    """`order` identical one-pole stages in cascade.
+
+    blocked=None auto-selects the MXU formulation for long real-typed
+    signals on the last axis.
+    """
+    if blocked is None:
+        blocked = (axis in (-1, x.ndim - 1) and x.shape[-1] >= 4096
+                   and not jnp.iscomplexobj(x))
     y = x
     for _ in range(order):
-        y = one_pole(y, a, axis=axis)
+        y = one_pole_blocked(y, a) if blocked else one_pole(y, a, axis=axis)
     return y
+
+
+# ---------------------------------------------------------------------------
+# Exact IIR filtering by FFT convolution with closed-form impulse responses.
+#
+# Every filter in the auditory model is LTI with a *closed-form* impulse
+# response (one-poles: a^k; the 4th-order gammatone: C(k+3,3) a^k convolved
+# with its 3-tap numerator; the IHC circuit: a sum of two real exponentials).
+# Filtering a length-n signal is then ONE exact linear convolution — two
+# large rFFTs and an elementwise product — instead of hundreds of dependent
+# scan steps.  On TPU this is the speed-of-light formulation: the XLA FFT is
+# dense parallel work, and all 32 ear channels batch into a single FFT call.
+# ---------------------------------------------------------------------------
+
+def _fft_len(n: int) -> int:
+    """Smallest 2^k or 3*2^k >= 2n (XLA's TPU FFT handles the radix-3 factor
+    efficiently; measured ~33% faster than rounding up to the next 2^k)."""
+    m = 1
+    while m < 2 * n:
+        m *= 2
+    m3 = 3 * (m // 4)
+    return m3 if m3 >= 2 * n else m
+
+
+def fft_causal_conv(x: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
+    """Exact y[n] = sum_k h[k] x[n-k] for full-length h (h.shape[-1] ==
+    x.shape[-1]); broadcasting batch dims."""
+    n = x.shape[-1]
+    m = _fft_len(n)
+    y = jnp.fft.irfft(jnp.fft.rfft(x, m) * jnp.fft.rfft(h, m), m)
+    return y[..., :n].astype(x.dtype)
+
+
+def one_pole_ir(a, n: int, dtype=jnp.float32) -> jnp.ndarray:
+    """h[k] = a^k, computed as exp(k log |a|) (underflows cleanly), with
+    sign alternation for negative poles."""
+    a = jnp.asarray(a, dtype)
+    k = jnp.arange(n, dtype=dtype)
+    mag = jnp.exp(k * jnp.log(jnp.maximum(jnp.abs(a), 1e-30)))
+    sign = jnp.where(a < 0, 1.0 - 2.0 * (jnp.arange(n) % 2), 1.0)
+    return (mag * sign).astype(dtype)
+
+
+def gammatone_ir(a, n: int, dtype=jnp.float32) -> jnp.ndarray:
+    """Impulse response of the reference gammatone section
+    [1, 4a, 4a^2] / (1 - a z^-1)^4 (pyhaspi2.py:871-877):
+
+        d[k] = C(k+3, 3) a^k            (4-pole part)
+        h[k] = d[k] + 4a d[k-1] + 4a^2 d[k-2]
+
+    evaluated in the log domain so a^k underflows without killing the
+    polynomial prefactor's precision."""
+    a = jnp.asarray(a, dtype)
+    k = jnp.arange(n, dtype=dtype)
+    log_a = jnp.log(jnp.maximum(a, 1e-30))
+    log_poly = (jnp.log1p(k) + jnp.log(k + 2.0) + jnp.log(k + 3.0)
+                - jnp.log(6.0))
+    d = jnp.exp(k * log_a + log_poly)
+    d1 = jnp.concatenate([jnp.zeros_like(d[..., :1]), d[..., :-1]], -1)
+    d2 = jnp.concatenate([jnp.zeros_like(d[..., :2]), d[..., :-2]], -1)
+    return (d + 4.0 * a * d1 + 4.0 * (a * a) * d2).astype(dtype)
+
+
+def exp_sum_ir(lams, weights, n: int, dtype=jnp.float32) -> jnp.ndarray:
+    """h[k] = sum_i weights[i] * lams[i]^k (real exponential mixtures, e.g.
+    the IHC adaptation circuit's 2-state response)."""
+    k = jnp.arange(n, dtype=dtype)
+    h = jnp.zeros(n, dtype)
+    for lam, w in zip(lams, weights):
+        h = h + w * jnp.exp(k * jnp.log(jnp.asarray(abs(lam), dtype))) * (
+            1.0 if lam >= 0 else (1.0 - 2.0 * (jnp.arange(n) % 2)))
+    return h
+
+
+def one_pole_fft(x: jnp.ndarray, a) -> jnp.ndarray:
+    return fft_causal_conv(x, one_pole_ir(a, x.shape[-1], x.dtype))
 
 
 def fir(x: jnp.ndarray, taps, axis: int = -1) -> jnp.ndarray:
