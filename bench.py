@@ -123,12 +123,86 @@ def get_baseline() -> dict:
     return base
 
 
+def measure_extras() -> dict:
+    """Secondary BASELINE.json configs: single-utterance inference, GAN
+    steps/sec (G+D), metric scoring/sec."""
+    import jax
+    import jax.numpy as jnp
+    from nelegan_tpu.config import Config
+    from nelegan_tpu import pipeline
+    from nelegan_tpu.train import gan
+    from nelegan_tpu.metrics.haspi import haspi_v2_24k
+    from nelegan_tpu.metrics.estoi import estoi_10k
+    from nelegan_tpu.dsp.resample import resample_poly
+    from nelegan_tpu.models.generator import Generator
+
+    cfg = Config()
+    clean, noise = _load_toy()
+    out = {}
+
+    # config 1: single-utterance inference (batch 1)
+    params = Generator().init(
+        jax.random.PRNGKey(0), np.zeros((1, 8, 64), np.float32),
+        np.zeros((1, 8, 64), np.float32))["params"]
+    _ = np.asarray(pipeline.enhance_utterance(params, clean, noise))
+    t0 = time.perf_counter()
+    for _ in range(10):
+        w = np.asarray(pipeline.enhance_utterance(params, clean, noise))
+    out["single_utt_per_sec"] = round(10 / (time.perf_counter() - t0), 2)
+
+    # config 4+5: jitted G-step + D-step over a batch-8 bucket
+    b = 8
+    clean_p, lengths = pipeline.reflect_pad_batch([clean] * b)
+    noise_p, _ = pipeline.reflect_pad_batch([noise] * b)
+    state = gan.init_train_state(jax.random.PRNGKey(0), cfg)
+    feats = pipeline.featurize_batch(clean_p, noise_p, lengths,
+                                     cfg.train.p_power)
+    state, gl = gan.g_step(state, feats, cfg)
+    img3, img2, frames = gan.featurize_triple(clean_p, noise_p, clean_p,
+                                              lengths, cfg)
+    tg = np.full((b, 3), 0.7, np.float32)
+    tq = np.full((b, 2), 0.7, np.float32)
+    state, dl, ql = gan.d_step(state, img3, img2, frames, tg, tq, cfg)
+    float(gl); float(dl)
+    t0 = time.perf_counter()
+    for _ in range(10):
+        state, gl = gan.g_step(state, feats, cfg)
+        state, dl, ql = gan.d_step(state, img3, img2, frames, tg, tq, cfg)
+    _ = float(gl) + float(dl)
+    dt = (time.perf_counter() - t0) / 10
+    out["gan_steps_per_sec"] = round(1.0 / dt, 2)
+    out["gan_utts_per_sec"] = round(b / dt, 2)
+
+    # config 3: metric-loss forwards (HASPI v2 + ESTOI on-device)
+    x24 = resample_poly(jnp.asarray(clean), 3, 2)
+    y24 = resample_poly(jnp.asarray(clean + noise), 3, 2)
+    hs = jax.jit(lambda a, c: haspi_v2_24k(a, c)[0])
+    _ = float(hs(x24, y24))
+    t0 = time.perf_counter()
+    for _ in range(5):
+        _ = float(hs(x24, y24))
+    out["haspi_scores_per_sec"] = round(5 / (time.perf_counter() - t0), 2)
+
+    x10 = resample_poly(jnp.asarray(clean), 5, 8)
+    y10 = resample_poly(jnp.asarray(clean + noise), 5, 8)
+    _ = float(estoi_10k(x10, y10))
+    t0 = time.perf_counter()
+    for _ in range(10):
+        _ = float(estoi_10k(x10, y10))
+    out["estoi_scores_per_sec"] = round(10 / (time.perf_counter() - t0), 2)
+    return out
+
+
 def main():
     try:
         base = get_baseline()
     except Exception as e:  # reference mount unavailable
         base = {"utts_per_sec": None, "error": str(e)}
     ours = measure_ours()
+    try:
+        extras = measure_extras()
+    except Exception as e:
+        extras = {"extras_error": str(e)}
     vs = (ours["utts_per_sec"] / base["utts_per_sec"]
           if base.get("utts_per_sec") else None)
     print(json.dumps({
@@ -140,6 +214,7 @@ def main():
         "batch": BATCH,
         "ms_per_batch": round(ours["ms_per_batch"], 2),
         "platform": ours["platform"],
+        **extras,
     }))
 
 

@@ -88,6 +88,8 @@ class Trainer:
         self.start_epoch = 1
         self.history: Dict[str, List[float]] = {m: [] for m in
                                                 self.valid_metric_set}
+        from nelegan_tpu.utils.profiling import StepTimer
+        self.timer = StepTimer()
 
     # ------------------------------------------------------------------
     def resume(self, path: Optional[str] = None):
@@ -249,15 +251,20 @@ class Trainer:
 
         g_loss = 0.0
         if epoch >= 2:
-            g_loss = self.train_generator_epoch(sampled)
+            with self.timer.phase("g_train"):
+                g_loss = self.train_generator_epoch(sampled)
 
-        means = self.validate(epoch)
+        with self.timer.phase("validate"):
+            means = self.validate(epoch)
 
         # discriminator data generation + scoring
-        written = self._write_enhanced(self.train_index, sampled, disc_dir,
-                                       epoch)
-        gen_scores = self._score_files(self.train_index, written, norm=True,
-                                       metrics=self.metric_set)
+        with self.timer.phase("enhance_for_d"):
+            written = self._write_enhanced(self.train_index, sampled,
+                                           disc_dir, epoch)
+        with self.timer.phase("score_for_d"):
+            gen_scores = self._score_files(self.train_index, written,
+                                           norm=True,
+                                           metrics=self.metric_set)
         order = list(ALL_METRICS)
         current = [ReplayEntry(p, os.path.basename(p).split("@")[0] + ".wav",
                                [s.get(m, 0.5) for m in order])
@@ -273,11 +280,13 @@ class Trainer:
                         for p, s in zip(extra_paths, extra_scores)]
 
         # three D passes: current / past+current / current
-        self.train_discriminator_pass(current)
-        past = self.replay.sample_fraction(self.cfg.train.replay_fraction)
-        self.train_discriminator_pass(past + current)
-        self.replay.extend(current)
-        self.train_discriminator_pass(current)
+        with self.timer.phase("d_train"):
+            self.train_discriminator_pass(current)
+            past = self.replay.sample_fraction(
+                self.cfg.train.replay_fraction)
+            self.train_discriminator_pass(past + current)
+            self.replay.extend(current)
+            self.train_discriminator_pass(current)
 
         # checkpoint the complete end-of-epoch state (the reference saves
         # only G/D weights mid-epoch, train_nele.py:272-277; saving after
