@@ -22,8 +22,12 @@ jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 # Allow float64 in tests: library code follows input dtypes, so f64 inputs
 # give exact-parity checks against the float64 reference goldens while f32
-# inputs exercise TPU-realistic numerics.
-jax.config.update("jax_enable_x64", True)
+# inputs exercise TPU-realistic numerics.  The TPU backend has no f64, so
+# the on-device smoke run (NELE_TEST_PLATFORM=tpu) stays in f32 and tests
+# requiring x64 auto-skip via the `needs_x64` fixture.
+X64 = os.environ["JAX_PLATFORMS"] == "cpu"
+if X64:
+    jax.config.update("jax_enable_x64", True)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
