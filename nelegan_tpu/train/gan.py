@@ -94,36 +94,40 @@ def _band_images(enh, noise, clean, fmask):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def g_step(state: TrainState, feats: BatchFeatures,
-           cfg: Config = Config()):
-    """One generator update over a bucketed batch.  Returns (state, loss)."""
+def g_step_bands(state: TrainState, clean_band, noise_band, frames,
+                 cfg: Config = Config()):
+    """One generator update from precomputed band features.
+
+    Band features are deterministic per (utterance, bucket length), so the
+    training loop caches them across epochs — the reference recomputed the
+    full featurization in every DataLoader __getitem__ (dataloader.py:30-42).
+    Returns (state, loss).
+    """
     p = cfg.train.p_power
-    t = feats.clean_band.shape[1]
-    fmask = frame_mask(feats.frames, t).astype(feats.clean_band.dtype)
-    target = jnp.ones((feats.clean_band.shape[0], 3),
-                      feats.clean_band.dtype)
-    target_q = jnp.ones((feats.clean_band.shape[0], 2),
-                        feats.clean_band.dtype)
+    t = clean_band.shape[1]
+    fmask = frame_mask(frames, t).astype(clean_band.dtype)
+    target = jnp.ones((clean_band.shape[0], 3), clean_band.dtype)
+    target_q = jnp.ones((clean_band.shape[0], 2), clean_band.dtype)
 
     def loss_fn(gen_params):
         mask = Generator(
             hidden=cfg.model.gen_hidden, n_bands=cfg.model.n_bands,
             leaky_slope=cfg.model.leaky_slope,
             mask_bound=cfg.model.mask_bound).apply(
-            {"params": gen_params}, feats.clean_band, feats.noise_band)
-        beta2 = beta2_energy_norm(feats.clean_band, mask, fmask,
+            {"params": gen_params}, clean_band, noise_band)
+        beta2 = beta2_energy_norm(clean_band, mask, fmask,
                                   inv_p=cfg.train.inv_p)
         beta_p = beta2 ** p
-        enh_band = feats.clean_band * (mask ** p) * beta_p
-        ref_band = jax.lax.stop_gradient(feats.clean_band)
+        enh_band = clean_band * (mask ** p) * beta_p
+        ref_band = jax.lax.stop_gradient(clean_band)
 
-        img3, img2 = _band_images(enh_band, feats.noise_band, ref_band, fmask)
+        img3, img2 = _band_images(enh_band, noise_band, ref_band, fmask)
         score, d_spec = IntelDiscriminator().apply(
             {"params": state.d_params, "spectral": state.d_spectral},
-            img3, feats.frames, update_sn=True, mutable=["spectral"])
+            img3, frames, update_sn=True, mutable=["spectral"])
         score_q, dq_spec = QualityDiscriminator().apply(
             {"params": state.dq_params, "spectral": state.dq_spectral},
-            img2, feats.frames, update_sn=True, mutable=["spectral"])
+            img2, frames, update_sn=True, mutable=["spectral"])
         loss = (jnp.mean((score - target) ** 2)
                 + cfg.train.weight_qua * jnp.mean((score_q - target_q) ** 2))
         return loss, (d_spec["spectral"], dq_spec["spectral"])
@@ -138,6 +142,38 @@ def g_step(state: TrainState, feats: BatchFeatures,
                           step_g=state.step_g + 1), loss
 
 
+def g_step(state: TrainState, feats: BatchFeatures,
+           cfg: Config = Config()):
+    """BatchFeatures convenience wrapper around g_step_bands."""
+    return g_step_bands(state, feats.clean_band, feats.noise_band,
+                        feats.frames, cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def featurize_bands(clean_padded, noise_padded, lengths,
+                    cfg: Config = Config()):
+    """(clean_band, noise_band, frames) for the band cache."""
+    feats = featurize_batch(clean_padded, noise_padded, lengths,
+                            cfg.train.p_power)
+    return feats.clean_band, feats.noise_band, feats.frames
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def speech_band(wav_padded, cfg: Config = Config()):
+    """Band features of a reflect-prepadded speech batch (no IMCRA)."""
+    spec = stft(wav_padded, center=False)
+    return band_energy(jnp.abs(jnp.swapaxes(spec, -1, -2))) ** \
+        cfg.train.p_power
+
+
+@jax.jit
+def d_images(eband, noise_band, clean_band, frames):
+    """Assemble the discriminator image tensors from band features."""
+    t = eband.shape[1]
+    fmask = frame_mask(frames, t).astype(eband.dtype)
+    return _band_images(eband, noise_band, clean_band, fmask)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def featurize_triple(enh_padded, noise_padded, clean_padded, lengths,
                      cfg: Config = Config()):
@@ -148,8 +184,7 @@ def featurize_triple(enh_padded, noise_padded, clean_padded, lengths,
     """
     p = cfg.train.p_power
     feats = featurize_batch(clean_padded, noise_padded, lengths, p)
-    espec = stft(enh_padded, center=False)
-    eband = band_energy(jnp.abs(jnp.swapaxes(espec, -1, -2))) ** p
+    eband = speech_band(enh_padded, cfg)
     t = eband.shape[1]
     fmask = frame_mask(feats.frames, t).astype(eband.dtype)
     img3, img2 = _band_images(eband, feats.noise_band, feats.clean_band,

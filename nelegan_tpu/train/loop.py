@@ -90,6 +90,10 @@ class Trainer:
                                                 self.valid_metric_set}
         from nelegan_tpu.utils.profiling import StepTimer
         self.timer = StepTimer()
+        # band features are deterministic per (utterance, bucket length);
+        # cache them across epochs (the reference re-featurized in every
+        # DataLoader __getitem__, dataloader.py:30-42, IMCRA included)
+        self._band_cache: Dict[tuple, tuple] = {}
 
     # ------------------------------------------------------------------
     def resume(self, path: Optional[str] = None):
@@ -149,13 +153,31 @@ class Trainer:
         return out
 
     # ------------------------------------------------------------------
+    def _cached_bands(self, batch) -> tuple:
+        """(clean_band [B,T,64], noise_band, frames) with per-utterance
+        caching keyed on (name, bucket length)."""
+        blen = batch.clean.shape[1]
+        missing = [i for i, name in enumerate(batch.names)
+                   if (name, blen) not in self._band_cache]
+        if missing:
+            cb, nb, fr = gan.featurize_bands(
+                batch.clean[missing], batch.noise[missing],
+                batch.lengths[missing], self.cfg)
+            cb, nb, fr = np.asarray(cb), np.asarray(nb), np.asarray(fr)
+            for j, i in enumerate(missing):
+                self._band_cache[(batch.names[i], blen)] = (
+                    cb[j], nb[j], fr[j])
+        entries = [self._band_cache[(n, blen)] for n in batch.names]
+        return (np.stack([e[0] for e in entries]),
+                np.stack([e[1] for e in entries]),
+                np.stack([e[2] for e in entries]))
+
     def train_generator_epoch(self, sampled: Sequence[str]) -> float:
         losses = []
         for batch in self.loader(sampled):
-            feats = pipeline.featurize_batch(batch.clean, batch.noise,
-                                             batch.lengths,
-                                             self.cfg.train.p_power)
-            self.state, loss = gan.g_step(self.state, feats, self.cfg)
+            cb, nb, fr = self._cached_bands(batch)
+            self.state, loss = gan.g_step_bands(self.state, cb, nb, fr,
+                                                self.cfg)
             losses.append(float(loss))
         return float(np.mean(losses)) if losses else 0.0
 
@@ -201,36 +223,42 @@ class Trainer:
             pass
 
     def train_discriminator_pass(self, entries: Sequence[ReplayEntry]):
-        """One pass over a list of scored enhanced utterances."""
+        """One pass over a list of scored enhanced utterances.
+
+        Faithful to the reference D dataset (dataloader.py:54-84): the
+        enhanced wav is re-read from its PCM16 file and featurized; the
+        clean/noise bands come from the cross-epoch cache (identical
+        features — the reference featurizes clean/noise at full length)."""
+        from nelegan_tpu.data.pipeline import _bucket_len
         entries = list(entries)
         self.rng.shuffle(entries)
         bs = self.cfg.train.batch_size
-        losses = []
-        # group by bucketed length to share compilations
+        clean_dir = os.path.dirname(self.train_index.clean_paths[0])
+
         def blen(e):
-            from nelegan_tpu.data.pipeline import _bucket_len
-            return _bucket_len(self.train_index.length(os.path.join(
-                os.path.dirname(self.train_index.clean_paths[0]), e.name)))
+            return _bucket_len(self.train_index.length(
+                os.path.join(clean_dir, e.name)))
         entries.sort(key=blen)
-        for i in range(0, len(entries), bs):
-            group = entries[i:i + bs]
-            clean_dir = os.path.dirname(self.train_index.clean_paths[0])
-            cleans, noises, enhs, lens = [], [], [], []
-            for e in group:
-                c, _ = read_wav(os.path.join(clean_dir, e.name))
-                n, _ = read_wav(os.path.join(self.train_index.noise_dir,
-                                             e.name))
-                eh, _ = read_wav(e.enhanced_path)
-                m = min(len(c), len(n), len(eh))
-                cleans.append(c[:m]); noises.append(n[:m]); enhs.append(eh[:m])
-                lens.append(m)
-            from nelegan_tpu.data.pipeline import _bucket_len
-            nmax = _bucket_len(max(lens))
-            cp, lengths = pipeline.reflect_pad_batch(cleans, nmax)
-            np_, _ = pipeline.reflect_pad_batch(noises, nmax)
-            ep, _ = pipeline.reflect_pad_batch(enhs, nmax)
-            img3, img2, frames = gan.featurize_triple(ep, np_, cp, lengths,
-                                                      self.cfg)
+
+        losses = []
+        i = 0
+        while i < len(entries):
+            # group entries sharing one bucket length
+            group = [entries[i]]
+            b = blen(entries[i])
+            i += 1
+            while (i < len(entries) and len(group) < bs
+                   and blen(entries[i]) == b):
+                group.append(entries[i])
+                i += 1
+            batch = self.loader.load_group(
+                [os.path.join(clean_dir, e.name) for e in group])
+            cb, nb, frames = self._cached_bands(batch)
+            enhs = [read_wav(e.enhanced_path)[0] for e in group]
+            ep, _ = pipeline.reflect_pad_batch(enhs, batch.clean.shape[1]
+                                               - 512)
+            eband = gan.speech_band(ep, self.cfg)
+            img3, img2 = gan.d_images(eband, nb, cb, frames)
             targets = np.array([e.scores[:3] for e in group], np.float32)
             targets_q = np.array([e.scores[3:5] for e in group], np.float32)
             self.state, ld, lq = gan.d_step(self.state, img3, img2, frames,
