@@ -194,6 +194,8 @@ def measure_extras() -> dict:
 
 
 def main():
+    from nelegan_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     try:
         base = get_baseline()
     except Exception as e:  # reference mount unavailable

@@ -36,6 +36,8 @@ def main(argv=None):
         import jax
         jax.config.update("jax_platforms", args.platform)
 
+    from nelegan_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     import numpy as np
     import jax
     import jax.numpy as jnp

@@ -43,6 +43,8 @@ def main(argv=None):
     if not _os.path.isdir(args.test_clean):
         raise SystemExit(f"--test-clean {args.test_clean} is not a directory")
 
+    from nelegan_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     import numpy as np
     import jax
     from nelegan_tpu.config import Config

@@ -48,6 +48,8 @@ def main(argv=None):
         import jax
         jax.config.update("jax_platforms", args.platform)
 
+    from nelegan_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     from nelegan_tpu.config import Config, TrainConfig
     from nelegan_tpu.train.loop import Trainer, TrainPaths
 

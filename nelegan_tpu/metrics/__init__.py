@@ -14,7 +14,7 @@ Wrapper semantics follow intel.py:
 """
 from __future__ import annotations
 
-from typing import Dict, Sequence
+from typing import Any, Dict, Sequence
 
 import jax.numpy as jnp
 import numpy as np
@@ -31,6 +31,36 @@ from nelegan_tpu.metrics.calibrate import make_mappers, logistic  # noqa: F401
 ALL_METRICS = ("siib", "haspi", "estoi", "pesq", "visqol")
 
 
+def score_pair_async(clean, noise, enhanced, fs: int = 16000,
+                     norm: bool = True,
+                     metrics: Sequence[str] = ALL_METRICS) -> Dict[str, Any]:
+    """Like score_pair but returns 0-d device arrays without fetching —
+    callers batch the host transfers (each fetch costs a full round trip
+    through the remote-device tunnel)."""
+    n = min(len(clean), len(enhanced), len(noise))
+    clean = np.asarray(clean)[:n]
+    noisy_enh = np.asarray(enhanced)[:n] + np.asarray(noise)[:n]
+    enh = np.asarray(enhanced)[:n]
+    mappers = make_mappers()
+
+    out: Dict[str, Any] = {}
+    for m in metrics:
+        if m == "siib":
+            raw = siib(clean, noisy_enh, fs)
+        elif m == "haspi":
+            raw = haspi_v2(clean, fs, noisy_enh, fs)[0]
+        elif m == "estoi":
+            raw = estoi(clean, noisy_enh, fs)
+        elif m == "pesq":
+            raw = pesq_proxy(clean, enh, fs)
+        elif m == "visqol":
+            raw = visqol_proxy(clean, enh, fs)
+        else:
+            raise ValueError(f"unknown metric {m}")
+        out[m] = mappers[m](raw) if norm else raw
+    return out
+
+
 def score_pair(clean: np.ndarray, noise: np.ndarray, enhanced: np.ndarray,
                fs: int = 16000, norm: bool = True,
                metrics: Sequence[str] = ALL_METRICS) -> Dict[str, float]:
@@ -40,33 +70,25 @@ def score_pair(clean: np.ndarray, noise: np.ndarray, enhanced: np.ndarray,
     read_PESQ (audio_util.py:120-228): signals are trimmed to the shortest,
     intelligibility metrics hear enhanced + noise.
     """
-    n = min(len(clean), len(enhanced), len(noise))
-    clean = np.asarray(clean)[:n]
-    noisy_enh = np.asarray(enhanced)[:n] + np.asarray(noise)[:n]
-    enh = np.asarray(enhanced)[:n]
-    mappers = make_mappers()
-
-    out: Dict[str, float] = {}
-    for m in metrics:
-        if m == "siib":
-            raw = float(siib(clean, noisy_enh, fs))
-        elif m == "haspi":
-            raw = float(haspi_v2(clean, fs, noisy_enh, fs)[0])
-        elif m == "estoi":
-            raw = float(estoi(clean, noisy_enh, fs))
-        elif m == "pesq":
-            raw = float(pesq_proxy(clean, enh, fs))
-        elif m == "visqol":
-            raw = float(visqol_proxy(clean, enh, fs))
-        else:
-            raise ValueError(f"unknown metric {m}")
-        out[m] = float(mappers[m](raw)) if norm else raw
-    return out
+    return {k: float(v) for k, v in
+            score_pair_async(clean, noise, enhanced, fs, norm,
+                             metrics).items()}
 
 
 def score_batch(clean_list, noise_list, enhanced_list, fs: int = 16000,
                 norm: bool = True,
                 metrics: Sequence[str] = ALL_METRICS):
-    """Score a corpus; same-length utterances share jit caches."""
-    return [score_pair(c, n, e, fs, norm, metrics)
-            for c, n, e in zip(clean_list, noise_list, enhanced_list)]
+    """Score a corpus: all metric programs are dispatched asynchronously and
+    the scalar results fetched in one device->host transfer at the end
+    (same-length utterances share jit caches)."""
+    import jax.numpy as jnp
+    pending = [score_pair_async(c, n, e, fs, norm, metrics)
+               for c, n, e in zip(clean_list, noise_list, enhanced_list)]
+    if not pending:
+        return []
+    keys = list(pending[0].keys())
+    flat = jnp.stack([jnp.stack([jnp.asarray(p[k], jnp.float32)
+                                 for k in keys]) for p in pending])
+    vals = np.asarray(flat)  # single fetch
+    return [{k: float(vals[i, j]) for j, k in enumerate(keys)}
+            for i in range(len(pending))]

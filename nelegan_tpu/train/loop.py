@@ -140,17 +140,17 @@ class Trainer:
     def _score_files(self, index: CorpusIndex, enhanced_paths: Sequence[str],
                      norm: bool, metrics: Sequence[str]
                      ) -> List[Dict[str, float]]:
-        out = []
+        from nelegan_tpu.metrics import score_batch
+        cleans, noises, enhs = [], [], []
         for p in enhanced_paths:
             base = os.path.basename(p)
             name = base.split("@")[0] + ".wav" if "@" in base else base
-            clean, _ = read_wav(os.path.join(
-                os.path.dirname(index.clean_paths[0]), name))
-            noise, _ = read_wav(os.path.join(index.noise_dir, name))
-            enh, _ = read_wav(p)
-            out.append(score_pair(clean, noise, enh, self.cfg.train.fs,
-                                  norm=norm, metrics=metrics))
-        return out
+            cleans.append(read_wav(os.path.join(
+                os.path.dirname(index.clean_paths[0]), name))[0])
+            noises.append(read_wav(os.path.join(index.noise_dir, name))[0])
+            enhs.append(read_wav(p)[0])
+        return score_batch(cleans, noises, enhs, self.cfg.train.fs,
+                           norm=norm, metrics=metrics)
 
     # ------------------------------------------------------------------
     def _cached_bands(self, batch) -> tuple:
