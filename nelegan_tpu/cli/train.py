@@ -33,6 +33,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lr-d", type=float, default=2.5e-4)
     p.add_argument("--weight-qua", type=float, default=0.5)
     p.add_argument("--metrics", default="siib,haspi,estoi,pesq,visqol")
+    p.add_argument("--data-parallel", action="store_true",
+                   help="shard batches over all devices ('data' mesh axis)")
     p.add_argument("--resume", action="store_true",
                    help="resume from the latest checkpoint")
     p.add_argument("--init-from-torch", default=None,
@@ -65,7 +67,8 @@ def main(argv=None):
         checkpoints=args.checkpoints, log_file=args.log_file)
 
     metrics = tuple(m.strip() for m in args.metrics.split(",") if m.strip())
-    trainer = Trainer(paths, cfg, metric_set=metrics)
+    trainer = Trainer(paths, cfg, metric_set=metrics,
+                      data_parallel=args.data_parallel)
     if args.init_from_torch:
         from nelegan_tpu.train.checkpoint import load_reference_checkpoint
         trainer.state = load_reference_checkpoint(args.init_from_torch,

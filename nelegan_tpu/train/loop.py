@@ -61,7 +61,8 @@ class TrainPaths:
 class Trainer:
     def __init__(self, paths: TrainPaths, cfg: Config = Config(),
                  metric_set: Sequence[str] = ALL_METRICS,
-                 valid_metric_set: Optional[Sequence[str]] = None):
+                 valid_metric_set: Optional[Sequence[str]] = None,
+                 data_parallel: bool = False):
         self.paths = paths
         self.cfg = cfg
         self.metric_set = tuple(metric_set)
@@ -94,6 +95,25 @@ class Trainer:
         # cache them across epochs (the reference re-featurized in every
         # DataLoader __getitem__, dataloader.py:30-42, IMCRA included)
         self._band_cache: Dict[tuple, tuple] = {}
+
+        # data-parallel training: shard the utterance batch over all devices
+        # (full-sized batches only — ragged tails run like drop_last, which
+        # is also the reference's DataLoader behavior, dataloader.py:92)
+        self.mesh = None
+        if data_parallel and jax.device_count() > 1:
+            from nelegan_tpu.parallel.mesh import make_mesh, replicate
+            assert cfg.train.batch_size % jax.device_count() == 0, (
+                "batch_size must divide the device count for data-parallel")
+            self.mesh = make_mesh(model_parallel=1)
+            self.state = replicate(self.mesh, self.state)
+
+    def _maybe_shard(self, *arrays):
+        if self.mesh is None:
+            return arrays
+        from nelegan_tpu.parallel.mesh import shard_batch
+        if arrays[0].shape[0] % self.mesh.shape["data"] != 0:
+            return None  # ragged tail: drop (reference drop_last semantics)
+        return shard_batch(self.mesh, arrays)
 
     # ------------------------------------------------------------------
     def resume(self, path: Optional[str] = None):
@@ -175,9 +195,10 @@ class Trainer:
     def train_generator_epoch(self, sampled: Sequence[str]) -> float:
         losses = []
         for batch in self.loader(sampled):
-            cb, nb, fr = self._cached_bands(batch)
-            self.state, loss = gan.g_step_bands(self.state, cb, nb, fr,
-                                                self.cfg)
+            args = self._maybe_shard(*self._cached_bands(batch))
+            if args is None:
+                continue
+            self.state, loss = gan.g_step_bands(self.state, *args, self.cfg)
             losses.append(float(loss))
         return float(np.mean(losses)) if losses else 0.0
 
@@ -261,8 +282,10 @@ class Trainer:
             img3, img2 = gan.d_images(eband, nb, cb, frames)
             targets = np.array([e.scores[:3] for e in group], np.float32)
             targets_q = np.array([e.scores[3:5] for e in group], np.float32)
-            self.state, ld, lq = gan.d_step(self.state, img3, img2, frames,
-                                            targets, targets_q, self.cfg)
+            args = self._maybe_shard(img3, img2, frames, targets, targets_q)
+            if args is None:
+                continue
+            self.state, ld, lq = gan.d_step(self.state, *args, self.cfg)
             losses.append((float(ld), float(lq)))
         return losses
 
