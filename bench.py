@@ -190,6 +190,15 @@ def measure_extras() -> dict:
     for _ in range(10):
         _ = float(estoi_10k(x10, y10))
     out["estoi_scores_per_sec"] = round(10 / (time.perf_counter() - t0), 2)
+
+    # config 2 addendum: P.56 active-speech-level normalization, batched
+    wavs = jnp.asarray(np.stack([clean] * BATCH))
+    _ = np.asarray(pipeline.active_speech_level_batch(wavs))
+    t0 = time.perf_counter()
+    for _ in range(10):
+        _ = np.asarray(pipeline.active_speech_level_batch(wavs))
+    out["aslp56_utts_per_sec"] = round(
+        10 * BATCH / (time.perf_counter() - t0), 2)
     return out
 
 

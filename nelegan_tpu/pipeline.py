@@ -160,6 +160,18 @@ def istft_batch_tail_truncated(spec: jnp.ndarray,
     return jnp.where(keep, y, 0.0)
 
 
+@jax.jit
+def active_speech_level_batch(wavs: jnp.ndarray) -> jnp.ndarray:
+    """Vmapped ITU-T P.56 active speech level over a batch (BASELINE
+    config 2's normalization variant; the reference ships asl_P56.py but
+    never wires it in — here it is a first-class batch op).
+
+    wavs: [B, n] -> active-speech RMS [B] (sqrt of the P.56 mean square)."""
+    from nelegan_tpu.dsp.asl_p56 import asl_p56
+    msq, _, _ = jax.vmap(lambda w: asl_p56(w, 16000, 16))(wavs)
+    return jnp.sqrt(jnp.maximum(msq, 1e-12))
+
+
 @functools.partial(jax.jit, static_argnames=("p_power", "target_rms"))
 def enhance_batch(gen_params, feats: BatchFeatures,
                   p_power: float = 1.0 / 6.0,
