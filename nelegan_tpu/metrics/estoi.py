@@ -67,8 +67,16 @@ def _frame(x: jnp.ndarray, framelen: int, hop: int) -> jnp.ndarray:
 
 
 @jax.jit
-def estoi_10k(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
-    """ESTOI on equal-length 10 kHz signals."""
+def estoi_10k(x: jnp.ndarray, y: jnp.ndarray,
+              n_valid: jnp.ndarray | None = None) -> jnp.ndarray:
+    """ESTOI on equal-length 10 kHz signals.
+
+    n_valid (optional, traced): number of real samples — everything beyond
+    is zero padding.  Frames extending past n_valid are excluded exactly as
+    if the signal had been trimmed (the framing is exclusive), so padded
+    scoring is bit-equal to exact-length scoring; this lets callers bucket
+    utterances into a few shapes and vmap.
+    """
     dt = x.dtype
     w = jnp.asarray(_hann_open(N_FRAME), dt)
 
@@ -77,6 +85,11 @@ def estoi_10k(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     nf = xf.shape[0]
 
     energy = 20.0 * jnp.log10(jnp.linalg.norm(xf, axis=-1) + _EPS)
+    if n_valid is not None:
+        # reference framing: frames with start < n - framelen
+        starts = jnp.arange(nf) * HOP
+        in_range = starts < (n_valid - N_FRAME)
+        energy = jnp.where(in_range, energy, -jnp.inf)
     keep = energy > (jnp.max(energy) - DYN_RANGE)      # [F]
     kcount = jnp.sum(keep)
     order = jnp.argsort(~keep, stable=True)
@@ -123,10 +136,11 @@ def estoi_10k(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(corr * seg_valid) / jnp.maximum(jnp.sum(seg_valid), 1)
 
 
-def estoi(x, y, fs: int = 16000) -> jnp.ndarray:
+def estoi(x, y, fs: int = 16000, n_valid=None) -> jnp.ndarray:
     """ESTOI with internal resampling (pystoi `stoi(..., extended=True)`
     semantics).  Trims to the shorter signal like the reference wrappers
-    (intel.py:122-127)."""
+    (intel.py:122-127).  With `n_valid`, the inputs are zero-padded buffers
+    of a common bucket length and scoring is exact for the valid prefix."""
     n = min(x.shape[-1], y.shape[-1])
     x = jnp.asarray(x)[..., :n]
     y = jnp.asarray(y)[..., :n]
@@ -135,4 +149,6 @@ def estoi(x, y, fs: int = 16000) -> jnp.ndarray:
         g = gcd(FS, fs)
         x = resample_poly(x, FS // g, fs // g)
         y = resample_poly(y, FS // g, fs // g)
-    return estoi_10k(x, y)
+        if n_valid is not None:
+            n_valid = -(-n_valid * (FS // g) // (fs // g))  # ceil
+    return estoi_10k(x, y, n_valid)

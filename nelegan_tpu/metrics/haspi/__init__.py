@@ -25,11 +25,19 @@ from nelegan_tpu.metrics.haspi.ear_model import ear_model, center_freq
 from nelegan_tpu.metrics.haspi import chains
 
 
-def _rms_normalize(x, y):
-    n = x.shape[-1]
-    rx = jnp.sqrt(jnp.sum(x * x, -1) / n)
-    ry = jnp.sqrt(jnp.sum(y * y, -1) / n)
-    return x / rx[..., None], y / ry[..., None]
+def _rms_normalize(x, y, n_valid=None):
+    if n_valid is None:
+        n = x.shape[-1]
+        rx = jnp.sqrt(jnp.sum(x * x, -1) / n)
+        ry = jnp.sqrt(jnp.sum(y * y, -1) / n)
+        return x / rx[..., None], y / ry[..., None]
+    # masked rms over the valid prefix; also silence any pad-tail content
+    mask = (jnp.arange(x.shape[-1]) < n_valid).astype(x.dtype)
+    nv = n_valid.astype(x.dtype) if hasattr(n_valid, "astype") else float(
+        n_valid)
+    rx = jnp.sqrt(jnp.sum(x * x * mask, -1) / nv)
+    ry = jnp.sqrt(jnp.sum(y * y * mask, -1) / nv)
+    return x * mask / rx[..., None], y * mask / ry[..., None]
 
 
 def resample_to_24k(x: jnp.ndarray, fs: int) -> jnp.ndarray:
@@ -53,15 +61,19 @@ HASPI_V2_WEIGHTS = np.array([1.361, 1.521, 1.164, 0.492, 0.436, 0.690,
 
 @functools.partial(jax.jit, static_argnames=("level1", "noise_scale"))
 def haspi_v2_24k(x24: jnp.ndarray, y24: jnp.ndarray, level1: float = 65.0,
-                 key: jax.Array | None = None, noise_scale: float = 0.0):
+                 key: jax.Array | None = None, noise_scale: float = 0.0,
+                 n_valid: jnp.ndarray | None = None):
     """HASPI version 2 on pre-aligned equal-length 24 kHz signals
-    (reference haspi_v2, pyhaspi2.py:76-107).  Returns (score, aveCM[10])."""
-    x24, y24 = _rms_normalize(x24, y24)
+    (reference haspi_v2, pyhaspi2.py:76-107).  Returns (score, aveCM[10]).
+
+    n_valid (traced, optional): true sample count of zero-padded buffers;
+    scoring then matches trimmed-signal scoring (bucketed/vmapped use)."""
+    x24, y24 = _rms_normalize(x24, y24, n_valid)
     if key is None:
         key = jax.random.PRNGKey(0)
     k_ear, k_cep = jax.random.split(key)
     ear = ear_model(x24, y24, itype=0, level1=level1, key=k_ear,
-                    noise_scale=noise_scale)
+                    noise_scale=noise_scale, n_valid=n_valid)
     xlp, ylp = chains.env_filt(ear.xdb, ear.ydb, 320.0, 2560.0)
     xcep, ycep, count = chains.cep_coef(xlp, ylp, 2.5, 0.1, 6, key=k_cep,
                                         noise_scale=noise_scale)
@@ -72,14 +84,15 @@ def haspi_v2_24k(x24: jnp.ndarray, y24: jnp.ndarray, level1: float = 65.0,
 
 @functools.partial(jax.jit, static_argnames=("level1", "noise_scale"))
 def haspi_v1_24k(x24: jnp.ndarray, y24: jnp.ndarray, level1: float = 65.0,
-                 key: jax.Array | None = None, noise_scale: float = 0.0):
+                 key: jax.Array | None = None, noise_scale: float = 0.0,
+                 n_valid: jnp.ndarray | None = None):
     """HASPI version 1 (reference haspi, pyhaspi2.py:109-157).
     Returns (intelligibility in [0,1], raw = [cepcorr, cov3...])."""
-    x24, y24 = _rms_normalize(x24, y24)
+    x24, y24 = _rms_normalize(x24, y24, n_valid)
     if key is None:
         key = jax.random.PRNGKey(0)
     ear = ear_model(x24, y24, itype=0, level1=level1, key=key,
-                    noise_scale=noise_scale)
+                    noise_scale=noise_scale, n_valid=n_valid)
     xsm = chains.env_smooth(ear.xdb, 16)
     ysm = chains.env_smooth(ear.ydb, 16)
     cepcorr, _ = chains.melcor(xsm, ysm, 2.5)
@@ -94,14 +107,15 @@ def haspi_v1_24k(x24: jnp.ndarray, y24: jnp.ndarray, level1: float = 65.0,
 
 @functools.partial(jax.jit, static_argnames=("level1", "noise_scale"))
 def hasqi_v2_24k(x24: jnp.ndarray, y24: jnp.ndarray, level1: float = 65.0,
-                 key: jax.Array | None = None, noise_scale: float = 0.0):
+                 key: jax.Array | None = None, noise_scale: float = 0.0,
+                 n_valid: jnp.ndarray | None = None):
     """HASQI version 2 quality (reference hasqi_v2, pyhaspi2.py:32-74).
     Returns (combined, nonlin, linear, raw[4])."""
-    x24, y24 = _rms_normalize(x24, y24)
+    x24, y24 = _rms_normalize(x24, y24, n_valid)
     if key is None:
         key = jax.random.PRNGKey(0)
     ear = ear_model(x24, y24, itype=2, level1=level1, key=key,
-                    noise_scale=noise_scale)
+                    noise_scale=noise_scale, n_valid=n_valid)
     xsm = chains.env_smooth(ear.xdb, 16)
     ysm = chains.env_smooth(ear.ydb, 16)
     cepcorr, _ = chains.melcor(xsm, ysm, 2.5)

@@ -133,12 +133,25 @@ def gammatone_bm(x: jnp.ndarray, bw, cf):
     return env, bm
 
 
-def bw_adjust(control: jnp.ndarray, bw_min, bw_max, level1: float):
+def bw_adjust(control: jnp.ndarray, bw_min, bw_max, level1: float,
+              n_valid=None):
     """Level-adaptive bandwidth (reference pyhaspi2.py:971-980)."""
-    c_rms = jnp.sqrt(jnp.mean(control * control))
+    c_rms = jnp.sqrt(_masked_mean_sq(control, n_valid))
     c_db = 20.0 * jnp.log10(jnp.maximum(c_rms, 1e-30)) + level1
     frac = jnp.clip((c_db - 50.0) / 50.0, 0.0, 1.0)
     return bw_min + frac * (bw_max - bw_min)
+
+
+def _masked_mean_sq(v: jnp.ndarray, n_valid=None) -> jnp.ndarray:
+    """mean(v^2) over the valid prefix (full length when n_valid is None).
+
+    The ear model's filters are causal, so outputs on [0, n_valid) of a
+    zero-padded signal equal those of the trimmed signal exactly; masking
+    the statistics makes padded scoring match exact-length scoring."""
+    if n_valid is None:
+        return jnp.mean(v * v)
+    mask = (jnp.arange(v.shape[-1]) < n_valid).astype(v.dtype)
+    return jnp.sum(v * v * mask) / n_valid.astype(v.dtype)
 
 
 def env_compress_bm(env, bm, control, attn_ohc, thr_low, cr, level1):
@@ -255,7 +268,8 @@ class EarOutputs(NamedTuple):
 def ear_model(x24: jnp.ndarray, y24: jnp.ndarray,
               hl: jnp.ndarray | None = None, itype: int = 0,
               level1: float = 65.0, key: jax.Array | None = None,
-              noise_scale: float = 0.0) -> EarOutputs:
+              noise_scale: float = 0.0,
+              n_valid: jnp.ndarray | None = None) -> EarOutputs:
     """Full binaural-input ear model on 24 kHz signals — FFT formulation.
 
     Matches reference eb_EarModel (pyhaspi2.py:1155-1248) with explicit
@@ -323,13 +337,13 @@ def ear_model(x24: jnp.ndarray, y24: jnp.ndarray,
 
             g1, ur1, ui1 = gfilter(bw1_n)
             ctl = g1 * jnp.sqrt(ur1 * ur1 + ui1 * ui1)
-            bw_sig = bw_adjust(ctl, bw_min_n, bw1_n, level1)
+            bw_sig = bw_adjust(ctl, bw_min_n, bw1_n, level1, n_valid)
             gs, ur, ui = gfilter(bw_sig)
             env = gs * jnp.sqrt(ur * ur + ui * ui)
             bm = gs * (ur * cosc + ui * sinc)
 
-            ave = jnp.sqrt(jnp.mean(env * env))
-            cave = jnp.sqrt(jnp.mean(ctl * ctl))
+            ave = jnp.sqrt(_masked_mean_sq(env, n_valid))
+            cave = jnp.sqrt(_masked_mean_sq(ctl, n_valid))
 
             # OHC compression with smoothed gain (env_compress_bm, FFT form)
             logenv = level1 + 20.0 * jnp.log10(jnp.maximum(ctl, small))
@@ -377,6 +391,13 @@ def ear_model(x24: jnp.ndarray, y24: jnp.ndarray,
     ydb = group_delay_comp(ydb, bwx, cfreq)
     xbm = group_delay_comp(xbm, bwx, cfreq)
     ybm = group_delay_comp(ybm, bwx, cfreq)
+
+    if n_valid is not None:
+        # silence the pad tail (filter ring-out) so the downstream
+        # above-threshold gates exclude it like trimmed-signal segments
+        tail = (jnp.arange(xdb.shape[-1]) < n_valid).astype(xdb.dtype)
+        xdb, ydb = xdb * tail, ydb * tail
+        xbm, ybm = xbm * tail, ybm * tail
 
     xsl = ave_sl(xave, xcave, attn_ohc_x, lowknee_x, cr_x, attn_ihc_x, level1)
     ysl = ave_sl(yave, ycave, attn_ohc_y, lowknee_y, cr_y, attn_ihc_y, level1)

@@ -60,16 +60,35 @@ def _hearing_threshold(n_bark: int = 49) -> np.ndarray:
     return 10.0 ** ((thr_db - 90.0) / 10.0)  # scaled into unit-RMS domain
 
 
+def _norm_and_mask(ref, deg, n_valid):
+    if n_valid is None:
+        ref = ref / jnp.maximum(jnp.sqrt(jnp.mean(ref * ref)), _EPS)
+        deg = deg / jnp.maximum(jnp.sqrt(jnp.mean(deg * deg)), _EPS)
+        return ref, deg, None
+    mask = (jnp.arange(ref.shape[-1]) < n_valid).astype(ref.dtype)
+    nv = n_valid.astype(ref.dtype)
+    ref = ref * mask / jnp.maximum(
+        jnp.sqrt(jnp.sum(ref * ref * mask) / nv), _EPS)
+    deg = deg * mask / jnp.maximum(
+        jnp.sqrt(jnp.sum(deg * deg * mask) / nv), _EPS)
+    # centered-STFT valid frame count (hop 256)
+    return ref, deg, 1 + n_valid // 256
+
+
 @jax.jit
-def pesq_proxy_16k(ref: jnp.ndarray, deg: jnp.ndarray) -> jnp.ndarray:
+def pesq_proxy_16k(ref: jnp.ndarray, deg: jnp.ndarray,
+                   n_valid: jnp.ndarray | None = None) -> jnp.ndarray:
     """PESQ-like MOS in roughly [1, 4.6] on equal-length 16 kHz signals."""
     dt = ref.dtype
     # level alignment (P.862 aligns both to a fixed listening level)
-    ref = ref / jnp.maximum(jnp.sqrt(jnp.mean(ref * ref)), _EPS)
-    deg = deg / jnp.maximum(jnp.sqrt(jnp.mean(deg * deg)), _EPS)
+    ref, deg, t_valid = _norm_and_mask(ref, deg, n_valid)
 
     sr = jnp.abs(stft(ref)) ** 2       # [257, T]
     sd = jnp.abs(stft(deg)) ** 2
+    if t_valid is not None:
+        fm = (jnp.arange(sr.shape[-1]) < t_valid).astype(dt)
+        sr = sr * fm
+        sd = sd * fm
     bark = jnp.asarray(_bark_matrix(), dt)
     thr = jnp.asarray(_hearing_threshold(), dt)[:, None]
     br = bark @ sr + _EPS              # [49, T]
@@ -94,14 +113,22 @@ def pesq_proxy_16k(ref: jnp.ndarray, deg: jnp.ndarray) -> jnp.ndarray:
     # pooling: relative band-L2 disturbance per frame, gated by reference
     # activity (P.862's VAD-like weighting keeps noise-in-silence from
     # dominating), L3 over time, then a saturating exponential MOS map
+    t = sr.shape[-1]
+    if t_valid is None:
+        fmask = jnp.ones((t,), dt)
+        denom_t = float(t)
+    else:
+        fmask = (jnp.arange(t) < t_valid).astype(dt)
+        denom_t = t_valid.astype(dt)
     act = jnp.sum(lr, axis=0)
-    gate = jnp.clip(act / (0.5 * jnp.mean(act)), 0.0, 1.0)
+    act_mean = jnp.sum(act * fmask) / denom_t
+    gate = jnp.clip(act / (0.5 * act_mean), 0.0, 1.0) * fmask
     ref_loud = jnp.sqrt(jnp.sum(lr ** 2, axis=0)) + 1.0
     frame_sym = jnp.sqrt(jnp.sum(d_sym ** 2, axis=0)) / ref_loud * gate
     frame_asym = jnp.sum(d_asym, axis=0) / (act + 100.0) * gate
 
     def lp_time(v, p):
-        return (jnp.mean(v ** p) + _EPS) ** (1.0 / p)
+        return (jnp.sum((v ** p) * fmask) / denom_t + _EPS) ** (1.0 / p)
 
     d1 = lp_time(frame_sym, 3.0)
     d2 = lp_time(frame_asym, 3.0)
@@ -110,15 +137,20 @@ def pesq_proxy_16k(ref: jnp.ndarray, deg: jnp.ndarray) -> jnp.ndarray:
 
 
 @jax.jit
-def visqol_proxy_16k(ref: jnp.ndarray, deg: jnp.ndarray) -> jnp.ndarray:
+def visqol_proxy_16k(ref: jnp.ndarray, deg: jnp.ndarray,
+                     n_valid: jnp.ndarray | None = None) -> jnp.ndarray:
     """NSIM-based ViSQOL-like MOS-LQO in [1, 5] on 16 kHz signals."""
     from nelegan_tpu.metrics.siib import _gammatone_matrix
     dt = ref.dtype
-    ref = ref / jnp.maximum(jnp.sqrt(jnp.mean(ref * ref)), _EPS)
-    deg = deg / jnp.maximum(jnp.sqrt(jnp.mean(deg * deg)), _EPS)
+    ref, deg, t_valid = _norm_and_mask(ref, deg, n_valid)
     g = jnp.asarray(_gammatone_matrix(), dt)       # [40, 257]
     nr = 10.0 * jnp.log10(g @ jnp.abs(stft(ref)) ** 2 + 1e-10)  # [40, T]
     nd = 10.0 * jnp.log10(g @ jnp.abs(stft(deg)) ** 2 + 1e-10)
+    if t_valid is not None:
+        fm = jnp.arange(nr.shape[-1]) < t_valid
+        big = jnp.asarray(0.0, dt)
+        nr = jnp.where(fm, nr, big)
+        nd = jnp.where(fm, nd, big)
     lo = jnp.minimum(jnp.min(nr), jnp.min(nd))
     nr = nr - lo
     nd = nd - lo
@@ -139,7 +171,12 @@ def visqol_proxy_16k(ref: jnp.ndarray, deg: jnp.ndarray) -> jnp.ndarray:
     c3 = (0.03 * dyn) ** 2 / 2.0
     lum = (2.0 * mu_r * mu_d + c1) / (mu_r ** 2 + mu_d ** 2 + c1)
     struct = (cov + c3) / (jnp.sqrt(var_r * var_d) + c3)
-    nsim = jnp.mean(lum * struct)
+    if t_valid is None:
+        nsim = jnp.mean(lum * struct)
+    else:
+        fm2 = (jnp.arange(nr.shape[-1]) < t_valid).astype(dt)[None, :]
+        nsim = jnp.sum(lum * struct * fm2) / (nr.shape[0]
+                                              * t_valid.astype(dt))
     # map mean NSIM -> MOS-LQO (ViSQOL uses an SVR; affine surrogate here)
     return jnp.clip(1.0 + 4.0 * nsim ** 3, 1.0, 5.0)
 

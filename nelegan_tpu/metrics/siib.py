@@ -74,8 +74,13 @@ def _frame(x: jnp.ndarray, framelen: int, hop: int) -> jnp.ndarray:
 
 
 @jax.jit
-def siib_gauss_16k(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
-    """SIIB^Gauss on equal-length 16 kHz signals (bits/s)."""
+def siib_gauss_16k(x: jnp.ndarray, y: jnp.ndarray,
+                   n_valid: jnp.ndarray | None = None) -> jnp.ndarray:
+    """SIIB^Gauss on equal-length 16 kHz signals (bits/s).
+
+    n_valid (optional, traced): true sample count of zero-padded buffers —
+    frames past it are excluded exactly, enabling bucketed/vmapped scoring.
+    """
     dt = x.dtype
     w = jnp.asarray(np.hanning(WIN + 2)[1:-1], dt)
     xf = _frame(x, WIN, HOP) * w
@@ -84,6 +89,9 @@ def siib_gauss_16k(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
 
     # silence removal on clean-signal energy, compacted to the front
     energy = 20.0 * jnp.log10(jnp.linalg.norm(xf, axis=-1) + _EPS)
+    if n_valid is not None:
+        starts = jnp.arange(nf) * HOP
+        energy = jnp.where(starts < (n_valid - WIN), energy, -jnp.inf)
     keep = energy > (jnp.max(energy) - DYN_RANGE)
     kcount = jnp.sum(keep)
     order = jnp.argsort(~keep, stable=True)
@@ -147,10 +155,13 @@ def _vad_mask(x: np.ndarray, window_length=400, window_shift=200,
     return xdb > (max_x - delta_db)
 
 
-def siib(x, y, fs: int = 16000, use_vad_tiling: bool = True) -> jnp.ndarray:
-    """SIIB^Gauss with the reference wrapper's tile-to-20s rule
-    (intel.py:79-100): if active speech is shorter than 20 s the pair is
-    tiled M = floor(25 / active_seconds) times before scoring."""
+def siib_prepare(x, y, fs: int = 16000, bucket: int | None = None):
+    """Host-side wrapper prep (reference intel.py:79-100): trim, resample,
+    VAD tile-to-20s, and optionally zero-pad to a fixed bucket length.
+
+    Returns (x_t, y_t, n_valid).  With `bucket`, all utterances come out at
+    one shape so the jitted core compiles once and vmaps.
+    """
     n = min(x.shape[-1], y.shape[-1])
     x = np.asarray(x)[..., :n]
     y = np.asarray(y)[..., :n]
@@ -159,13 +170,28 @@ def siib(x, y, fs: int = 16000, use_vad_tiling: bool = True) -> jnp.ndarray:
         g = gcd(FS, fs)
         x = np.asarray(resample_poly(jnp.asarray(x), FS // g, fs // g))
         y = np.asarray(resample_poly(jnp.asarray(y), FS // g, fs // g))
+    vad = _vad_mask(x)
+    active_sec = vad.sum() / (FS / HOP)
+    if active_sec < 20:
+        m = max(int(np.floor(25.0 / max(active_sec, 0.25))), 1)
+        x = np.tile(x, m)
+        y = np.tile(y, m)
+    n_valid = x.shape[-1]
+    if bucket is not None:
+        assert n_valid <= bucket, (n_valid, bucket)
+        x = np.pad(x, (0, bucket - n_valid))
+        y = np.pad(y, (0, bucket - n_valid))
+    return x, y, n_valid
+
+
+def siib(x, y, fs: int = 16000, use_vad_tiling: bool = True) -> jnp.ndarray:
+    """SIIB^Gauss with the reference wrapper's tile-to-20s rule
+    (intel.py:79-100): if active speech is shorter than 20 s the pair is
+    tiled M = floor(25 / active_seconds) times before scoring."""
     if use_vad_tiling:
-        # reference: R = fs/shift; active frames / R compared to 20 s
-        vad = _vad_mask(x)
-        active_sec = vad.sum() / (FS / HOP)
-        if active_sec < 20:
-            m = int(np.floor(25.0 / max(active_sec, 0.25)))
-            m = max(m, 1)
-            x = np.tile(x, m)
-            y = np.tile(y, m)
+        x, y, _ = siib_prepare(x, y, fs)
+    else:
+        n = min(x.shape[-1], y.shape[-1])
+        x = np.asarray(x)[..., :n]
+        y = np.asarray(y)[..., :n]
     return siib_gauss_16k(jnp.asarray(x), jnp.asarray(y))
