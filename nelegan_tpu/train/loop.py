@@ -160,7 +160,7 @@ class Trainer:
     def _score_files(self, index: CorpusIndex, enhanced_paths: Sequence[str],
                      norm: bool, metrics: Sequence[str]
                      ) -> List[Dict[str, float]]:
-        from nelegan_tpu.metrics import score_batch
+        from nelegan_tpu.metrics import score_corpus
         cleans, noises, enhs = [], [], []
         for p in enhanced_paths:
             base = os.path.basename(p)
@@ -169,8 +169,8 @@ class Trainer:
                 os.path.dirname(index.clean_paths[0]), name))[0])
             noises.append(read_wav(os.path.join(index.noise_dir, name))[0])
             enhs.append(read_wav(p)[0])
-        return score_batch(cleans, noises, enhs, self.cfg.train.fs,
-                           norm=norm, metrics=metrics)
+        return score_corpus(cleans, noises, enhs, self.cfg.train.fs,
+                            norm=norm, metrics=metrics)
 
     # ------------------------------------------------------------------
     def _cached_bands(self, batch) -> tuple:
