@@ -84,7 +84,10 @@ def estoi_10k(x: jnp.ndarray, y: jnp.ndarray,
     yf = _frame(y, N_FRAME, HOP) * w
     nf = xf.shape[0]
 
-    energy = 20.0 * jnp.log10(jnp.linalg.norm(xf, axis=-1) + _EPS)
+    # the silence-removal selection is inherently non-differentiable; keep
+    # its computation out of the backward graph (norm(0) has a NaN grad)
+    energy = jax.lax.stop_gradient(
+        20.0 * jnp.log10(jnp.linalg.norm(xf, axis=-1) + _EPS))
     if n_valid is not None:
         # reference framing: frames with start < n - framelen
         starts = jnp.arange(nf) * HOP
@@ -111,8 +114,10 @@ def estoi_10k(x: jnp.ndarray, y: jnp.ndarray,
     obm = jnp.asarray(_third_octave_matrix(), dt)
     xs = jnp.abs(jnp.fft.rfft(xsf, NFFT, axis=-1)) ** 2   # [F', 257]
     ys = jnp.abs(jnp.fft.rfft(ysf, NFFT, axis=-1)) ** 2
-    x_tob = jnp.sqrt(xs @ obm.T).T                     # [15, F']
-    y_tob = jnp.sqrt(ys @ obm.T).T
+    # epsilon inside the sqrt: padded/silent frames are exactly 0 and
+    # sqrt'(0)=inf would poison gradients through the later masking
+    x_tob = jnp.sqrt(xs @ obm.T + 1e-20).T             # [15, F']
+    y_tob = jnp.sqrt(ys @ obm.T + 1e-20).T
 
     # N=30-frame sliding segments, masked to the valid region
     n_segs = n_spec - N_SEG + 1

@@ -335,11 +335,13 @@ def ear_model(x24: jnp.ndarray, y24: jnp.ndarray,
                 ui = jnp.fft.irfft(xs_f * h_f, m)[..., :n]
                 return gain, ur, ui
 
+            # 1e-20 inside the sqrts: sqrt'(0)=inf poisons gradients on
+            # exactly-zero (padded) samples even when later masked
             g1, ur1, ui1 = gfilter(bw1_n)
-            ctl = g1 * jnp.sqrt(ur1 * ur1 + ui1 * ui1)
+            ctl = g1 * jnp.sqrt(ur1 * ur1 + ui1 * ui1 + 1e-20)
             bw_sig = bw_adjust(ctl, bw_min_n, bw1_n, level1, n_valid)
             gs, ur, ui = gfilter(bw_sig)
-            env = gs * jnp.sqrt(ur * ur + ui * ui)
+            env = gs * jnp.sqrt(ur * ur + ui * ui + 1e-20)
             bm = gs * (ur * cosc + ui * sinc)
 
             ave = jnp.sqrt(_masked_mean_sq(env, n_valid))
