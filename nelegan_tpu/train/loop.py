@@ -80,6 +80,9 @@ class Trainer:
                 f"no .wav files under --test-clean {paths.test_clean}")
         self.train_index = CorpusIndex(train_paths, paths.train_noise,
                                        extra_dir=paths.train_enhanced)
+        # the reference shuffles the test list once (seed 666) before taking
+        # the first num_valid utterances (train_nele.py:68,167)
+        self.rng.shuffle(test_paths)
         self.test_index = CorpusIndex(test_paths, paths.test_noise)
         self.loader = BucketedLoader(self.train_index,
                                      batch_size=cfg.train.batch_size,
