@@ -54,6 +54,20 @@ class CorpusIndex:
         self.extra_dir = extra_dir
         self.fs = fs
         self._lengths: Dict[str, int] = {}
+        self._by_name: Dict[str, str] = {}
+        for p in self.clean_paths:
+            base = os.path.basename(p)
+            if base in self._by_name:
+                raise ValueError(
+                    f"duplicate clean basename {base!r}: the corpus keys "
+                    "files by name (reference convention), so basenames "
+                    "must be unique across subdirectories")
+            self._by_name[base] = p
+
+    def clean_path_for(self, name: str) -> str:
+        """Resolve a wav basename to its clean path (supports corpora
+        nested in subdirectories, which get_filepaths walks)."""
+        return self._by_name[name]
 
     def __len__(self):
         return len(self.clean_paths)

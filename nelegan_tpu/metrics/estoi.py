@@ -55,15 +55,7 @@ def _hann_open(n: int) -> np.ndarray:
     return np.hanning(n + 2)[1:-1]
 
 
-def _frame(x: jnp.ndarray, framelen: int, hop: int) -> jnp.ndarray:
-    """Frames starting at 0, hop, ... while start < n - framelen
-    (pystoi's exclusive range)."""
-    n = x.shape[-1]
-    nframes = max((n - framelen + hop - 1) // hop, 0)
-    # pystoi: range(0, len(x) - framelen, hop) -> ceil((n-framelen)/hop)
-    nframes = -(-(n - framelen) // hop) if n > framelen else 0
-    idx = np.arange(nframes)[:, None] * hop + np.arange(framelen)[None, :]
-    return x[..., idx]
+from nelegan_tpu.metrics._framing import frame_exclusive as _frame
 
 
 @jax.jit

@@ -146,14 +146,19 @@ def visqol_proxy_16k(ref: jnp.ndarray, deg: jnp.ndarray,
     g = jnp.asarray(_gammatone_matrix(), dt)       # [40, 257]
     nr = 10.0 * jnp.log10(g @ jnp.abs(stft(ref)) ** 2 + 1e-10)  # [40, T]
     nd = 10.0 * jnp.log10(g @ jnp.abs(stft(deg)) ** 2 + 1e-10)
-    if t_valid is not None:
+    if t_valid is None:
+        lo = jnp.minimum(jnp.min(nr), jnp.min(nd))
+        nr = nr - lo
+        nd = nd - lo
+    else:
+        # min/max and the dynamic-range constants must see only valid
+        # frames, or an utterance's score would depend on its bucket size
         fm = jnp.arange(nr.shape[-1]) < t_valid
-        big = jnp.asarray(0.0, dt)
-        nr = jnp.where(fm, nr, big)
-        nd = jnp.where(fm, nd, big)
-    lo = jnp.minimum(jnp.min(nr), jnp.min(nd))
-    nr = nr - lo
-    nd = nd - lo
+        big = jnp.asarray(1e9, dt)
+        lo = jnp.minimum(jnp.min(jnp.where(fm, nr, big)),
+                         jnp.min(jnp.where(fm, nd, big)))
+        nr = jnp.where(fm, nr - lo, 0.0)
+        nd = jnp.where(fm, nd - lo, 0.0)
 
     # NSIM with a 3x3 smoothing window: luminance * structure
     def smooth(v):

@@ -66,11 +66,7 @@ def _gammatone_matrix() -> np.ndarray:
     return g
 
 
-def _frame(x: jnp.ndarray, framelen: int, hop: int) -> jnp.ndarray:
-    n = x.shape[-1]
-    nframes = -(-(n - framelen) // hop) if n > framelen else 0
-    idx = np.arange(nframes)[:, None] * hop + np.arange(framelen)[None, :]
-    return x[..., idx]
+from nelegan_tpu.metrics._framing import frame_exclusive as _frame
 
 
 @jax.jit
@@ -116,7 +112,7 @@ def siib_gauss_16k(x: jnp.ndarray, y: jnp.ndarray,
     vx = ex[idx].reshape(s, K_STACK * J_BANDS)
     vy = ey[idx].reshape(s, K_STACK * J_BANDS)
     vlive = ((jnp.arange(s) + K_STACK) <= kcount).astype(dt)
-    scnt = jnp.maximum(jnp.sum(vlive), K_STACK * J_BANDS + 1.0)
+    scnt = jnp.maximum(jnp.sum(vlive), 1.0)
 
     vx = (vx - jnp.sum(vx * vlive[:, None], 0) / scnt) * vlive[:, None]
     vy = (vy - jnp.sum(vy * vlive[:, None], 0) / scnt) * vlive[:, None]

@@ -58,21 +58,45 @@ class _DiscTrunk(nn.Module):
 
 class IntelDiscriminator(nn.Module):
     """Input [B, 64, T, 3] = (enhanced, noise, clean) band images ->
-    [B, 3] predicted (SIIB, HASPI, ESTOI) in [0, 1]."""
+    [B, n_scores] predicted (SIIB, HASPI, ESTOI) in [0, 1]."""
     leaky_slope: float = 0.3
+    channels: Tuple[int, ...] = (8, 16, 32, 48, 64)
+    kernels: Tuple[int, ...] = (1, 3, 5, 7, 9)
+    n_scores: int = 3
+
+    @classmethod
+    def from_config(cls, model_cfg) -> "IntelDiscriminator":
+        return cls(leaky_slope=model_cfg.leaky_slope,
+                   channels=model_cfg.disc_channels,
+                   kernels=model_cfg.disc_kernels,
+                   n_scores=model_cfg.n_intel_scores)
 
     @nn.compact
     def __call__(self, x, lengths=None, update_sn: bool = False):
-        return _DiscTrunk(3, leaky_slope=self.leaky_slope,
+        return _DiscTrunk(self.n_scores, channels=self.channels,
+                          kernels=self.kernels,
+                          leaky_slope=self.leaky_slope,
                           name="trunk")(x, lengths, update_sn)
 
 
 class QualityDiscriminator(nn.Module):
     """Input [B, 64, T, 2] = (enhanced, clean) band images ->
-    [B, 2] predicted (PESQ, ViSQOL) in [0, 1]."""
+    [B, n_scores] predicted (PESQ, ViSQOL) in [0, 1]."""
     leaky_slope: float = 0.3
+    channels: Tuple[int, ...] = (8, 16, 32, 48, 64)
+    kernels: Tuple[int, ...] = (1, 3, 5, 7, 9)
+    n_scores: int = 2
+
+    @classmethod
+    def from_config(cls, model_cfg) -> "QualityDiscriminator":
+        return cls(leaky_slope=model_cfg.leaky_slope,
+                   channels=model_cfg.disc_channels,
+                   kernels=model_cfg.disc_kernels,
+                   n_scores=model_cfg.n_quality_scores)
 
     @nn.compact
     def __call__(self, x, lengths=None, update_sn: bool = False):
-        return _DiscTrunk(2, leaky_slope=self.leaky_slope,
+        return _DiscTrunk(self.n_scores, channels=self.channels,
+                          kernels=self.kernels,
+                          leaky_slope=self.leaky_slope,
                           name="trunk")(x, lengths, update_sn)

@@ -75,27 +75,44 @@ class Generator(nn.Module):
 
     forward([B,T,64] clean, [B,T,64] noise) -> [B,T,64] in
     [exp(-mask_bound), exp(mask_bound)] (reference: model.py:83-98).
+
+    Construct via `Generator.from_config(cfg.model)` anywhere a Config is in
+    scope so hyperparameters stay consistent across init/train/inference.
     """
     hidden: int = 256
     n_bands: int = 64
     n_blocks: int = 6
     leaky_slope: float = 0.3
     mask_bound: float = 3.2
+    kernel_first: int = 5
+    kernel_mid: int = 7
+    kernel_last: int = 5
+
+    @classmethod
+    def from_config(cls, model_cfg) -> "Generator":
+        return cls(hidden=model_cfg.gen_hidden, n_bands=model_cfg.n_bands,
+                   n_blocks=model_cfg.gen_blocks,
+                   leaky_slope=model_cfg.leaky_slope,
+                   mask_bound=model_cfg.mask_bound,
+                   kernel_first=model_cfg.gen_kernel_first,
+                   kernel_mid=model_cfg.gen_kernel_mid,
+                   kernel_last=model_cfg.gen_kernel_last)
 
     @nn.compact
     def __call__(self, clean: jnp.ndarray, noise: jnp.ndarray) -> jnp.ndarray:
         lrelu = lambda v: nn.leaky_relu(v, self.leaky_slope)
         x = jnp.concatenate([clean, noise], axis=-1)  # [B, T, 128]
 
-        x = CausalConv(self.hidden, 5, w_gain=5.0 / 3.0, name="block0_conv")(x)
+        x = CausalConv(self.hidden, self.kernel_first, w_gain=5.0 / 3.0,
+                       name="block0_conv")(x)
         x = CumulativeLayerNorm(self.hidden, name="block0_cln")(x)
         x = lrelu(x)
         for i in range(1, self.n_blocks - 1):
-            x = CausalConv(self.hidden, 7, w_gain=5.0 / 3.0,
+            x = CausalConv(self.hidden, self.kernel_mid, w_gain=5.0 / 3.0,
                            name=f"block{i}_conv")(x)
             x = CumulativeLayerNorm(self.hidden, name=f"block{i}_cln")(x)
             x = lrelu(x)
-        x = CausalConv(self.n_bands, 5, w_gain=1.0,
+        x = CausalConv(self.n_bands, self.kernel_last, w_gain=1.0,
                        name=f"block{self.n_blocks - 1}_conv")(x)
         x = CumulativeLayerNorm(self.n_bands,
                                 name=f"block{self.n_blocks - 1}_cln")(x)

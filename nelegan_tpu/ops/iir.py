@@ -167,10 +167,13 @@ def gammatone_ir(a, n: int, dtype=jnp.float32) -> jnp.ndarray:
 
 def exp_sum_ir(lams, weights, n: int, dtype=jnp.float32) -> jnp.ndarray:
     """h[k] = sum_i weights[i] * lams[i]^k (real exponential mixtures, e.g.
-    the IHC adaptation circuit's 2-state response)."""
+    the IHC adaptation circuit's 2-state response).  Poles must be real
+    (complex pairs should be pre-combined by the caller)."""
+    import numpy as np
     k = jnp.arange(n, dtype=dtype)
     h = jnp.zeros(n, dtype)
     for lam, w in zip(lams, weights):
+        lam = float(np.real_if_close(lam))
         h = h + w * jnp.exp(k * jnp.log(jnp.asarray(abs(lam), dtype))) * (
             1.0 if lam >= 0 else (1.0 - 2.0 * (jnp.arange(n) % 2)))
     return h

@@ -48,16 +48,20 @@ def valid_frames(n_samples) -> jnp.ndarray:
 # Reference-exact single-utterance path
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("p_power", "target_rms"))
+@functools.partial(jax.jit, static_argnames=("p_power", "target_rms",
+                                             "model_cfg"))
 def enhance_utterance(gen_params, clean_wav: jnp.ndarray,
                       noise_wav: jnp.ndarray, p_power: float = 1.0 / 6.0,
-                      target_rms: float = 0.03) -> jnp.ndarray:
+                      target_rms: float = 0.03,
+                      model_cfg=None) -> jnp.ndarray:
     """One utterance through the full reference inference path, jitted."""
     clean_band, clean_mag, clean_phase = featurize_speech(clean_wav, p_power)
     noise_band, _, _ = featurize_noise(noise_wav, p_power)
 
-    mask = Generator().apply({"params": gen_params},
-                             clean_band[None], noise_band[None])[0]
+    gen = (Generator() if model_cfg is None
+           else Generator.from_config(model_cfg))
+    mask = gen.apply({"params": gen_params},
+                     clean_band[None], noise_band[None])[0]
     clean_power = clean_band ** (1.0 / p_power)
     beta2 = jnp.sum(clean_power) / jnp.sum(mask * clean_power)
     alpha2 = mask * beta2
@@ -172,10 +176,11 @@ def active_speech_level_batch(wavs: jnp.ndarray) -> jnp.ndarray:
     return jnp.sqrt(jnp.maximum(msq, 1e-12))
 
 
-@functools.partial(jax.jit, static_argnames=("p_power", "target_rms"))
+@functools.partial(jax.jit, static_argnames=("p_power", "target_rms",
+                                             "model_cfg"))
 def enhance_batch(gen_params, feats: BatchFeatures,
                   p_power: float = 1.0 / 6.0,
-                  target_rms: float = 0.03):
+                  target_rms: float = 0.03, model_cfg=None):
     """Batched enhancement: returns (wavs [B, n], alpha2 [B, T, 64], out_lens).
 
     Matches the reference inference path per utterance (masked exactly), with
@@ -183,8 +188,10 @@ def enhance_batch(gen_params, feats: BatchFeatures,
     """
     t = feats.clean_band.shape[1]
     fmask = frame_mask(feats.frames, t).astype(feats.clean_band.dtype)
-    mask = Generator().apply({"params": gen_params},
-                             feats.clean_band, feats.noise_band)
+    gen = (Generator() if model_cfg is None
+           else Generator.from_config(model_cfg))
+    mask = gen.apply({"params": gen_params},
+                     feats.clean_band, feats.noise_band)
     beta2 = beta2_energy_norm(feats.clean_band, mask, fmask,
                               inv_p=1.0 / p_power)
     alpha2 = mask * beta2

@@ -36,10 +36,7 @@ def _enhance_wavs(gen_params, feats: BatchFeatures, cfg: Config):
     p = cfg.train.p_power
     t = feats.clean_band.shape[1]
     fmask = frame_mask(feats.frames, t).astype(feats.clean_band.dtype)
-    mask = Generator(
-        hidden=cfg.model.gen_hidden, n_bands=cfg.model.n_bands,
-        leaky_slope=cfg.model.leaky_slope,
-        mask_bound=cfg.model.mask_bound).apply(
+    mask = Generator.from_config(cfg.model).apply(
         {"params": gen_params}, feats.clean_band, feats.noise_band)
     beta2 = beta2_energy_norm(feats.clean_band, mask, fmask,
                               inv_p=cfg.train.inv_p)

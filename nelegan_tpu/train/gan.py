@@ -61,13 +61,15 @@ def init_train_state(key: jax.Array, cfg: Config = Config(),
     kg, kd, kq = jax.random.split(key, 3)
     nb = cfg.model.n_bands
     dummy_band = jnp.zeros((1, 40, nb), jnp.float32)
+    # image channels: 3 = (enhanced, noise, clean), 2 = (enhanced, clean)
     dummy_img3 = jnp.zeros((1, nb, 40, 3), jnp.float32)
     dummy_img2 = jnp.zeros((1, nb, 40, 2), jnp.float32)
 
     if gen_params is None:
-        gen_params = Generator().init(kg, dummy_band, dummy_band)["params"]
-    d_vars = IntelDiscriminator().init(kd, dummy_img3)
-    dq_vars = QualityDiscriminator().init(kq, dummy_img2)
+        gen_params = Generator.from_config(cfg.model).init(
+            kg, dummy_band, dummy_band)["params"]
+    d_vars = IntelDiscriminator.from_config(cfg.model).init(kd, dummy_img3)
+    dq_vars = QualityDiscriminator.from_config(cfg.model).init(kq, dummy_img2)
 
     opt_g, opt_d, opt_dq = _optims(cfg)
     return TrainState(
@@ -106,14 +108,13 @@ def g_step_bands(state: TrainState, clean_band, noise_band, frames,
     p = cfg.train.p_power
     t = clean_band.shape[1]
     fmask = frame_mask(frames, t).astype(clean_band.dtype)
-    target = jnp.ones((clean_band.shape[0], 3), clean_band.dtype)
-    target_q = jnp.ones((clean_band.shape[0], 2), clean_band.dtype)
+    target = jnp.ones((clean_band.shape[0], cfg.model.n_intel_scores),
+                      clean_band.dtype)
+    target_q = jnp.ones((clean_band.shape[0], cfg.model.n_quality_scores),
+                        clean_band.dtype)
 
     def loss_fn(gen_params):
-        mask = Generator(
-            hidden=cfg.model.gen_hidden, n_bands=cfg.model.n_bands,
-            leaky_slope=cfg.model.leaky_slope,
-            mask_bound=cfg.model.mask_bound).apply(
+        mask = Generator.from_config(cfg.model).apply(
             {"params": gen_params}, clean_band, noise_band)
         beta2 = beta2_energy_norm(clean_band, mask, fmask,
                                   inv_p=cfg.train.inv_p)
@@ -122,10 +123,10 @@ def g_step_bands(state: TrainState, clean_band, noise_band, frames,
         ref_band = jax.lax.stop_gradient(clean_band)
 
         img3, img2 = _band_images(enh_band, noise_band, ref_band, fmask)
-        score, d_spec = IntelDiscriminator().apply(
+        score, d_spec = IntelDiscriminator.from_config(cfg.model).apply(
             {"params": state.d_params, "spectral": state.d_spectral},
             img3, frames, update_sn=True, mutable=["spectral"])
-        score_q, dq_spec = QualityDiscriminator().apply(
+        score_q, dq_spec = QualityDiscriminator.from_config(cfg.model).apply(
             {"params": state.dq_params, "spectral": state.dq_spectral},
             img2, frames, update_sn=True, mutable=["spectral"])
         loss = (jnp.mean((score - target) ** 2)
@@ -192,33 +193,43 @@ def featurize_triple(enh_padded, noise_padded, clean_padded, lengths,
     return img3, img2, feats.frames
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "update_intel",
+                                             "update_quality"))
 def d_step(state: TrainState, img3, img2, frames, targets, targets_q,
-           cfg: Config = Config()):
+           cfg: Config = Config(), update_intel: bool = True,
+           update_quality: bool = True):
     """One discriminator update (both heads, separate optimisers).
-    Returns (state, loss_d, loss_dq)."""
+    Returns (state, loss_d, loss_dq).  A head whose metrics are not being
+    scored trains toward fabricated targets and distorts the generator, so
+    the training loop disables it via the update_* flags."""
     def loss_d_fn(d_params):
-        score, d_spec = IntelDiscriminator().apply(
+        score, d_spec = IntelDiscriminator.from_config(cfg.model).apply(
             {"params": d_params, "spectral": state.d_spectral},
             img3, frames, update_sn=True, mutable=["spectral"])
         return jnp.mean((score - targets) ** 2), d_spec["spectral"]
 
     def loss_dq_fn(dq_params):
-        score, dq_spec = QualityDiscriminator().apply(
+        score, dq_spec = QualityDiscriminator.from_config(cfg.model).apply(
             {"params": dq_params, "spectral": state.dq_spectral},
             img2, frames, update_sn=True, mutable=["spectral"])
         return jnp.mean((score - targets_q) ** 2), dq_spec["spectral"]
 
-    (loss_d, d_spec), gd = jax.value_and_grad(
-        loss_d_fn, has_aux=True)(state.d_params)
-    (loss_dq, dq_spec), gq = jax.value_and_grad(
-        loss_dq_fn, has_aux=True)(state.dq_params)
-
     _, opt_d, opt_dq = _optims(cfg)
-    upd_d, d_opt = opt_d.update(gd, state.d_opt, state.d_params)
-    d_params = optax.apply_updates(state.d_params, upd_d)
-    upd_q, dq_opt = opt_dq.update(gq, state.dq_opt, state.dq_params)
-    dq_params = optax.apply_updates(state.dq_params, upd_q)
+    d_params, d_spec, d_opt = state.d_params, state.d_spectral, state.d_opt
+    dq_params, dq_spec, dq_opt = (state.dq_params, state.dq_spectral,
+                                  state.dq_opt)
+    loss_d = jnp.zeros((), img3.dtype)
+    loss_dq = jnp.zeros((), img3.dtype)
+    if update_intel:
+        (loss_d, d_spec), gd = jax.value_and_grad(
+            loss_d_fn, has_aux=True)(state.d_params)
+        upd_d, d_opt = opt_d.update(gd, state.d_opt, state.d_params)
+        d_params = optax.apply_updates(state.d_params, upd_d)
+    if update_quality:
+        (loss_dq, dq_spec), gq = jax.value_and_grad(
+            loss_dq_fn, has_aux=True)(state.dq_params)
+        upd_q, dq_opt = opt_dq.update(gq, state.dq_opt, state.dq_params)
+        dq_params = optax.apply_updates(state.dq_params, upd_q)
     return state._replace(
         d_params=d_params, d_spectral=d_spec, d_opt=d_opt,
         dq_params=dq_params, dq_spectral=dq_spec, dq_opt=dq_opt,

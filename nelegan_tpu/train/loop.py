@@ -67,6 +67,16 @@ class Trainer:
         self.cfg = cfg
         self.metric_set = tuple(metric_set)
         self.valid_metric_set = tuple(valid_metric_set or metric_set)
+        # head gating: with no quality (intelligibility) metrics configured,
+        # the quality (intel) discriminator would train toward fabricated
+        # 0.5 targets and distort the generator loss — disable it instead
+        self.qua_active = any(m in self.metric_set for m in
+                              ("pesq", "visqol"))
+        self.intel_active = any(m in self.metric_set for m in
+                                ("siib", "haspi", "estoi"))
+        if not self.qua_active:
+            cfg = dataclasses.replace(
+                cfg, train=dataclasses.replace(cfg.train, weight_qua=0.0))
         self.rng = random.Random(cfg.train.seed)
         self.key = jax.random.PRNGKey(cfg.train.seed)
 
@@ -99,9 +109,8 @@ class Trainer:
         # DataLoader __getitem__, dataloader.py:30-42, IMCRA included)
         self._band_cache: Dict[tuple, tuple] = {}
 
-        # data-parallel training: shard the utterance batch over all devices
-        # (full-sized batches only — ragged tails run like drop_last, which
-        # is also the reference's DataLoader behavior, dataloader.py:92)
+        # data-parallel training: shard the utterance batch over all
+        # devices (ragged batches are padded by repetition in _maybe_shard)
         self.mesh = None
         if data_parallel and jax.device_count() > 1:
             from nelegan_tpu.parallel.mesh import make_mesh, replicate
@@ -111,11 +120,20 @@ class Trainer:
             self.state = replicate(self.mesh, self.state)
 
     def _maybe_shard(self, *arrays):
+        """Shard a batch over the data axis, padding ragged batches by
+        repeating trailing rows (a slight loss reweighting, far better than
+        silently dropping scored training data)."""
         if self.mesh is None:
             return arrays
         from nelegan_tpu.parallel.mesh import shard_batch
-        if arrays[0].shape[0] % self.mesh.shape["data"] != 0:
-            return None  # ragged tail: drop (reference drop_last semantics)
+        dp = self.mesh.shape["data"]
+        b = arrays[0].shape[0]
+        rem = (-b) % dp
+        if rem:
+            arrays = tuple(
+                np.concatenate([np.asarray(a),
+                                np.repeat(np.asarray(a)[-1:], rem, axis=0)],
+                               axis=0) for a in arrays)
         return shard_batch(self.mesh, arrays)
 
     # ------------------------------------------------------------------
@@ -125,6 +143,20 @@ class Trainer:
             path, self.state)
         self.replay.load_state_dict(replay_json)
         self.start_epoch = epoch + 1
+        # restore host-side state so resumed runs continue the exact
+        # sampling/replay streams and learning curves
+        import json as _json
+        meta_path = os.path.realpath(os.path.join(
+            path if os.path.isdir(path) else os.path.dirname(path),
+            "latest")) + ".json"
+        if os.path.exists(meta_path):
+            extra = _json.load(open(meta_path)).get("extra") or {}
+            if "rng_state" in extra:
+                st = extra["rng_state"]
+                self.rng.setstate((st[0], tuple(st[1]), st[2]))
+            if "history" in extra:
+                self.history = {k: list(v)
+                                for k, v in extra["history"].items()}
 
     # ------------------------------------------------------------------
     def _enhance_batches(self, index: CorpusIndex, paths: Sequence[str]):
@@ -168,8 +200,7 @@ class Trainer:
         for p in enhanced_paths:
             base = os.path.basename(p)
             name = base.split("@")[0] + ".wav" if "@" in base else base
-            cleans.append(read_wav(os.path.join(
-                os.path.dirname(index.clean_paths[0]), name))[0])
+            cleans.append(read_wav(index.clean_path_for(name))[0])
             noises.append(read_wav(os.path.join(index.noise_dir, name))[0])
             enhs.append(read_wav(p)[0])
         return score_corpus(cleans, noises, enhs, self.cfg.train.fs,
@@ -199,8 +230,6 @@ class Trainer:
         losses = []
         for batch in self.loader(sampled):
             args = self._maybe_shard(*self._cached_bands(batch))
-            if args is None:
-                continue
             self.state, loss = gan.g_step_bands(self.state, *args, self.cfg)
             losses.append(float(loss))
         return float(np.mean(losses)) if losses else 0.0
@@ -257,11 +286,10 @@ class Trainer:
         entries = list(entries)
         self.rng.shuffle(entries)
         bs = self.cfg.train.batch_size
-        clean_dir = os.path.dirname(self.train_index.clean_paths[0])
 
         def blen(e):
             return _bucket_len(self.train_index.length(
-                os.path.join(clean_dir, e.name)))
+                self.train_index.clean_path_for(e.name)))
         entries.sort(key=blen)
 
         losses = []
@@ -276,7 +304,7 @@ class Trainer:
                 group.append(entries[i])
                 i += 1
             batch = self.loader.load_group(
-                [os.path.join(clean_dir, e.name) for e in group])
+                [self.train_index.clean_path_for(e.name) for e in group])
             cb, nb, frames = self._cached_bands(batch)
             enhs = [read_wav(e.enhanced_path)[0] for e in group]
             ep, _ = pipeline.reflect_pad_batch(enhs, batch.clean.shape[1]
@@ -286,9 +314,10 @@ class Trainer:
             targets = np.array([e.scores[:3] for e in group], np.float32)
             targets_q = np.array([e.scores[3:5] for e in group], np.float32)
             args = self._maybe_shard(img3, img2, frames, targets, targets_q)
-            if args is None:
-                continue
-            self.state, ld, lq = gan.d_step(self.state, *args, self.cfg)
+            self.state, ld, lq = gan.d_step(
+                self.state, *args, self.cfg,
+                update_intel=self.intel_active,
+                update_quality=self.qua_active)
             losses.append((float(ld), float(lq)))
         return losses
 
@@ -346,7 +375,9 @@ class Trainer:
         # only G/D weights mid-epoch, train_nele.py:272-277; saving after
         # the D passes makes resume exact, including the replay list)
         save_checkpoint(self.paths.checkpoints, epoch, self.state, self.key,
-                        self.replay.state_dict())
+                        self.replay.state_dict(),
+                        extra={"rng_state": list(self.rng.getstate()),
+                               "history": self.history})
 
         tmp = os.path.join(self.paths.output, "temp")
         if os.path.isdir(tmp):
