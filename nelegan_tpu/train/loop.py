@@ -40,7 +40,7 @@ from nelegan_tpu import pipeline
 from nelegan_tpu.data.pipeline import (BucketedLoader, CorpusIndex,
                                        get_filepaths)
 from nelegan_tpu.data.wavio import read_wav, write_wav_pcm16
-from nelegan_tpu.metrics import score_pair, ALL_METRICS
+from nelegan_tpu.metrics import ALL_METRICS
 from nelegan_tpu.train import gan
 from nelegan_tpu.train.checkpoint import save_checkpoint, load_checkpoint
 from nelegan_tpu.train.replay import ReplayBuffer, ReplayEntry
