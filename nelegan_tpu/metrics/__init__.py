@@ -97,7 +97,7 @@ def score_batch(clean_list, noise_list, enhanced_list, fs: int = 16000,
 
 def score_corpus(clean_list, noise_list, enhanced_list, fs: int = 16000,
                  norm: bool = True, metrics: Sequence[str] = ALL_METRICS,
-                 bucket_quant: int = 16384):
+                 bucket_quant: int = 16384, vmap_chunk: int = 8):
     """Bucketed, vmapped corpus scoring.
 
     Utterances are zero-padded into a few quantised length buckets and each
@@ -126,7 +126,18 @@ def score_corpus(clean_list, noise_list, enhanced_list, fs: int = 16000,
         b = -(-ln // bucket_quant) * bucket_quant
         buckets.setdefault(b, []).append(i)
 
+    # cap the vmap width: metric programs are heavy (HASPI holds
+    # [chunk, 32ch, fft] complex buffers), so huge buckets are scored in
+    # fixed-size chunks that share one compilation
+    chunked: list = []
     for blen, idxs in buckets.items():
+        for i in range(0, len(idxs), vmap_chunk):
+            chunk = idxs[i:i + vmap_chunk]
+            if len(chunk) < vmap_chunk and len(idxs) >= vmap_chunk:
+                chunk = idxs[-vmap_chunk:]  # full-width tail (recompute ok)
+            chunked.append((blen, chunk))
+
+    for blen, idxs in chunked:
         bsz = len(idxs)
         ref = np.zeros((bsz, blen), np.float32)
         ne = np.zeros((bsz, blen), np.float32)   # enhanced + noise

@@ -392,3 +392,5 @@ class Trainer:
             means = self.run_epoch(epoch)
             print(f"Epoch {epoch} finished: "
                   + ", ".join(f"{k}={v:.4f}" for k, v in means.items()))
+        if self._band_cache:  # ran at least one epoch
+            print(f"phase timing: {self.timer}")
