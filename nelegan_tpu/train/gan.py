@@ -195,6 +195,20 @@ def featurize_triple(enh_padded, noise_padded, clean_padded, lengths,
 
 @functools.partial(jax.jit, static_argnames=("cfg", "update_intel",
                                              "update_quality"))
+def d_step_enhanced(state: TrainState, enh_padded, noise_band, clean_band,
+                    frames, targets, targets_q, cfg: Config = Config(),
+                    update_intel: bool = True, update_quality: bool = True):
+    """Fused D update from an enhanced-wav batch + cached clean/noise bands:
+    featurize + image assembly + both head updates in ONE device program
+    (each separate dispatch costs a full round trip on remote devices)."""
+    eband = speech_band(enh_padded, cfg)
+    img3, img2 = d_images(eband, noise_band, clean_band, frames)
+    return d_step(state, img3, img2, frames, targets, targets_q, cfg,
+                  update_intel, update_quality)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "update_intel",
+                                             "update_quality"))
 def d_step(state: TrainState, img3, img2, frames, targets, targets_q,
            cfg: Config = Config(), update_intel: bool = True,
            update_quality: bool = True):

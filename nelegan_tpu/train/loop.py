@@ -64,12 +64,11 @@ class Trainer:
                  valid_metric_set: Optional[Sequence[str]] = None,
                  data_parallel: bool = False):
         self.paths = paths
-        self.cfg = cfg
         self.metric_set = tuple(metric_set)
         self.valid_metric_set = tuple(valid_metric_set or metric_set)
-        # head gating: with no quality (intelligibility) metrics configured,
-        # the quality (intel) discriminator would train toward fabricated
-        # 0.5 targets and distort the generator loss — disable it instead
+        # head gating: with no quality metrics configured, the quality
+        # discriminator would train toward fabricated 0.5 targets and
+        # distort the generator loss — disable it instead
         self.qua_active = any(m in self.metric_set for m in
                               ("pesq", "visqol"))
         self.intel_active = any(m in self.metric_set for m in
@@ -77,6 +76,7 @@ class Trainer:
         if not self.qua_active:
             cfg = dataclasses.replace(
                 cfg, train=dataclasses.replace(cfg.train, weight_qua=0.0))
+        self.cfg = cfg
         self.rng = random.Random(cfg.train.seed)
         self.key = jax.random.PRNGKey(cfg.train.seed)
 
@@ -227,12 +227,13 @@ class Trainer:
                 np.stack([e[2] for e in entries]))
 
     def train_generator_epoch(self, sampled: Sequence[str]) -> float:
-        losses = []
+        losses = []  # device scalars; fetched once (remote sync is ~32 ms)
         for batch in self.loader(sampled):
             args = self._maybe_shard(*self._cached_bands(batch))
             self.state, loss = gan.g_step_bands(self.state, *args, self.cfg)
-            losses.append(float(loss))
-        return float(np.mean(losses)) if losses else 0.0
+            losses.append(loss)
+        return float(np.mean([np.asarray(l) for l in losses])) \
+            if losses else 0.0
 
     def validate(self, epoch: int) -> Dict[str, float]:
         n_valid = min(self.cfg.train.num_valid, len(self.test_index))
@@ -309,17 +310,16 @@ class Trainer:
             enhs = [read_wav(e.enhanced_path)[0] for e in group]
             ep, _ = pipeline.reflect_pad_batch(enhs, batch.clean.shape[1]
                                                - 512)
-            eband = gan.speech_band(ep, self.cfg)
-            img3, img2 = gan.d_images(eband, nb, cb, frames)
             targets = np.array([e.scores[:3] for e in group], np.float32)
             targets_q = np.array([e.scores[3:5] for e in group], np.float32)
-            args = self._maybe_shard(img3, img2, frames, targets, targets_q)
-            self.state, ld, lq = gan.d_step(
+            args = self._maybe_shard(ep, nb, cb, frames, targets, targets_q)
+            self.state, ld, lq = gan.d_step_enhanced(
                 self.state, *args, self.cfg,
                 update_intel=self.intel_active,
                 update_quality=self.qua_active)
-            losses.append((float(ld), float(lq)))
-        return losses
+            losses.append((ld, lq))
+        return [(float(np.asarray(a)), float(np.asarray(b)))
+                for a, b in losses]
 
     # ------------------------------------------------------------------
     def run_epoch(self, epoch: int) -> Dict[str, float]:
