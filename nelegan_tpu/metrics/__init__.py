@@ -27,7 +27,8 @@ from nelegan_tpu.metrics.haspi import (  # noqa: F401
 )
 from nelegan_tpu.metrics.quality import (  # noqa: F401
     pesq_proxy, visqol_proxy, pesq_proxy_16k, visqol_proxy_16k)
-from nelegan_tpu.metrics.calibrate import make_mappers, logistic  # noqa: F401
+from nelegan_tpu.metrics.calibrate import (  # noqa: F401
+    make_mappers, make_mappers_np, logistic)
 
 ALL_METRICS = ("siib", "haspi", "estoi", "pesq", "visqol")
 
@@ -119,7 +120,7 @@ def score_corpus(clean_list, noise_list, enhanced_list, fs: int = 16000,
     lens = [min(len(c), len(n), len(e)) for c, n, e in
             zip(clean_list, noise_list, enhanced_list)]
     results = [dict() for _ in range(n_utts)]
-    mappers = make_mappers()
+    mappers = make_mappers_np()
 
     buckets: Dict[int, list] = {}
     for i, ln in enumerate(lens):

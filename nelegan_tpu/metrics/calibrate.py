@@ -15,6 +15,20 @@ def logistic(x, a: float, b: float):
     return 1.0 / (1.0 + jnp.exp(a * (x - b)))
 
 
+def logistic_np(x, a: float, b: float):
+    """Host-side logistic for already-fetched scores (jnp on a Python float
+    creates a device scalar whose float() costs a device round trip)."""
+    import numpy as np
+    return 1.0 / (1.0 + np.exp(a * (np.asarray(x, np.float64) - b)))
+
+
+def make_mappers_np(calib: MetricCalibration = MetricCalibration()):
+    return {name: (lambda x, ab=ab: logistic_np(x, *ab))
+            for name, ab in [("siib", calib.siib), ("haspi", calib.haspi),
+                             ("estoi", calib.estoi), ("pesq", calib.pesq),
+                             ("visqol", calib.visqol)]}
+
+
 def make_mappers(calib: MetricCalibration = MetricCalibration()):
     return {
         "siib": lambda x: logistic(x, *calib.siib),

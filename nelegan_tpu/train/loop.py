@@ -102,6 +102,8 @@ class Trainer:
         self.start_epoch = 1
         self.history: Dict[str, List[float]] = {m: [] for m in
                                                 self.valid_metric_set}
+        from nelegan_tpu.utils.cache import enable_compilation_cache
+        enable_compilation_cache()
         from nelegan_tpu.utils.profiling import StepTimer
         self.timer = StepTimer()
         # band features are deterministic per (utterance, bucket length);
@@ -312,6 +314,16 @@ class Trainer:
                                                - 512)
             targets = np.array([e.scores[:3] for e in group], np.float32)
             targets_q = np.array([e.scores[3:5] for e in group], np.float32)
+            # pad ragged groups to the full batch size by repeating rows:
+            # every d_step_enhanced call then shares ONE compiled shape per
+            # bucket length (remote compiles cost 10-30 s per new shape)
+            pad = bs - len(group)
+            if pad:
+                rep = lambda a: np.concatenate(
+                    [np.asarray(a), np.repeat(np.asarray(a)[-1:], pad, 0)], 0)
+                ep, nb, cb = rep(ep), rep(nb), rep(cb)
+                frames, targets, targets_q = (rep(frames), rep(targets),
+                                              rep(targets_q))
             args = self._maybe_shard(ep, nb, cb, frames, targets, targets_q)
             self.state, ld, lq = gan.d_step_enhanced(
                 self.state, *args, self.cfg,
@@ -354,10 +366,12 @@ class Trainer:
                    for p, s in zip(written, gen_scores)]
 
         if self.train_index.extra_dir:
-            extra_paths = [self.train_index.extra_path(p) for p in sampled]
-            extra_scores = self._score_files(self.train_index, extra_paths,
-                                             norm=True,
-                                             metrics=self.metric_set)
+            with self.timer.phase("score_drc"):
+                extra_paths = [self.train_index.extra_path(p)
+                               for p in sampled]
+                extra_scores = self._score_files(self.train_index,
+                                                 extra_paths, norm=True,
+                                                 metrics=self.metric_set)
             current += [ReplayEntry(p, os.path.basename(p),
                                     [s.get(m, 0.5) for m in order])
                         for p, s in zip(extra_paths, extra_scores)]
@@ -374,10 +388,11 @@ class Trainer:
         # checkpoint the complete end-of-epoch state (the reference saves
         # only G/D weights mid-epoch, train_nele.py:272-277; saving after
         # the D passes makes resume exact, including the replay list)
-        save_checkpoint(self.paths.checkpoints, epoch, self.state, self.key,
-                        self.replay.state_dict(),
-                        extra={"rng_state": list(self.rng.getstate()),
-                               "history": self.history})
+        with self.timer.phase("checkpoint"):
+            save_checkpoint(self.paths.checkpoints, epoch, self.state,
+                            self.key, self.replay.state_dict(),
+                            extra={"rng_state": list(self.rng.getstate()),
+                                   "history": self.history})
 
         tmp = os.path.join(self.paths.output, "temp")
         if os.path.isdir(tmp):
