@@ -401,11 +401,19 @@ class Trainer:
         means["epoch_seconds"] = time.time() - t0
         return means
 
-    def run(self, epochs: Optional[int] = None):
+    def run(self, epochs: Optional[int] = None, verbose_timing: bool = False):
         end = (epochs or self.cfg.train.gan_epochs) + 1
         for epoch in range(self.start_epoch, end):
+            before = dict(self.timer._total)
             means = self.run_epoch(epoch)
             print(f"Epoch {epoch} finished: "
                   + ", ".join(f"{k}={v:.4f}" for k, v in means.items()))
+            if verbose_timing:
+                deltas = {k: self.timer._total[k] - before.get(k, 0.0)
+                          for k in self.timer._total}
+                timed = sum(deltas.values())
+                print("  phases: " + " ".join(
+                    f"{k}={v:.1f}s" for k, v in sorted(deltas.items()))
+                    + f" | untimed={means['epoch_seconds'] - timed:.1f}s")
         if self._band_cache:  # ran at least one epoch
             print(f"phase timing: {self.timer}")

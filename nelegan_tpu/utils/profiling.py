@@ -44,7 +44,8 @@ class StepTimer:
 
     def __str__(self) -> str:
         return " | ".join(
-            f"{k}: {v['mean_s'] * 1e3:.1f}ms x{v['count']}"
+            f"{k}: {v['total_s']:.1f}s total ({v['count']}x, "
+            f"mean {v['mean_s']:.2f}s)"
             for k, v in sorted(self.report().items()))
 
 
