@@ -368,10 +368,14 @@ def ear_model(x24: jnp.ndarray, y24: jnp.ndarray,
             bm_out = bmc * (out + small) / (ydb_ + small)
             return out, bm_out, ave, cave, bw_sig
 
-        xdb, xb, xave, xcave, bwx = ear_side(xmid, bw_min_xn, aohc_x, lk_x,
-                                             cr_xn, aihc_x)
-        ydb, yb, yave, ycave, _ = ear_side(ymid, bw_min_yn, aohc_y, lk_y,
-                                           cr_yn, aihc_y)
+        # both ears run as one vmapped pass (halves the op count: every
+        # FFT/elementwise op becomes a single [2, ...]-batched op)
+        mids = jnp.stack([xmid, ymid])
+        outs = jax.vmap(ear_side)(
+            mids, jnp.stack([bw_min_xn, bw_min_yn]),
+            jnp.stack([aohc_x, aohc_y]), jnp.stack([lk_x, lk_y]),
+            jnp.stack([cr_xn, cr_yn]), jnp.stack([aihc_x, aihc_y]))
+        (xdb, ydb), (xb, yb), (xave, yave), (xcave, ycave), (bwx, _) = outs
         return xdb, xb, ydb, yb, xave, yave, xcave, ycave, bwx
 
     outs = jax.vmap(channel)(
