@@ -96,21 +96,20 @@ def siib_gauss_16k(x: jnp.ndarray, y: jnp.ndarray,
     yk = yf[order] * live[:, None]
 
     g = jnp.asarray(_gammatone_matrix(), dt)
-    px = jnp.abs(jnp.fft.rfft(xk, NFFT, axis=-1)) ** 2      # [F, 257]
-    py = jnp.abs(jnp.fft.rfft(yk, NFFT, axis=-1)) ** 2
-    ex = jnp.log(px @ g.T + _EPS)                           # [F, J]
-    ey = jnp.log(py @ g.T + _EPS)
+    # both signals processed as one [2, ...]-batched stack (halves op count)
+    xy = jnp.stack([xk, yk])                                # [2, F, WIN]
+    p2 = jnp.abs(jnp.fft.rfft(xy, NFFT, axis=-1)) ** 2      # [2, F, 257]
+    e2 = jnp.log(p2 @ g.T + _EPS)                           # [2, F, J]
 
-    livef = live.astype(dt)[:, None]
+    livef = live.astype(dt)[None, :, None]
     cnt = jnp.maximum(kcount, 1).astype(dt)
-    ex = (ex - jnp.sum(ex * livef, 0) / cnt) * livef
-    ey = (ey - jnp.sum(ey * livef, 0) / cnt) * livef
+    e2 = (e2 - jnp.sum(e2 * livef, 1, keepdims=True) / cnt) * livef
 
-    # stack K consecutive frames (shift 1) -> [S, K*J]
+    # stack K consecutive frames (shift 1) -> [2, S, K*J]
     s = nf - K_STACK + 1
     idx = np.arange(s)[:, None] + np.arange(K_STACK)[None, :]
-    vx = ex[idx].reshape(s, K_STACK * J_BANDS)
-    vy = ey[idx].reshape(s, K_STACK * J_BANDS)
+    v2 = e2[:, idx].reshape(2, s, K_STACK * J_BANDS)
+    vx, vy = v2[0], v2[1]
     vlive = ((jnp.arange(s) + K_STACK) <= kcount).astype(dt)
     scnt = jnp.maximum(jnp.sum(vlive), 1.0)
 
