@@ -27,6 +27,8 @@ from nelegan_tpu.metrics.haspi import (  # noqa: F401
 )
 from nelegan_tpu.metrics.quality import (  # noqa: F401
     pesq_proxy, visqol_proxy, pesq_proxy_16k, visqol_proxy_16k)
+from nelegan_tpu.metrics.pesq import (  # noqa: F401
+    pesq_p862, pesq_p862_16k, mos_lqo_wb)
 from nelegan_tpu.metrics.calibrate import (  # noqa: F401
     make_mappers, make_mappers_np, logistic)
 

@@ -1,0 +1,331 @@
+"""ITU-T P.862 (PESQ) perceptual model in JAX — full-structure, on-device.
+
+The reference scores quality with the pypesq C extension
+(reference: intel.py:9,142-160), i.e. the ITU-T P.862 reference code run at
+16 kHz (wideband P.862.2 mode).  That engine cannot be vendored here, so this
+module re-implements the *complete P.862 perceptual + cognitive model* from
+the standard, stage by stage, as one jittable / vmappable / differentiable
+JAX program:
+
+  1.  level alignment — both signals scaled to TARGET_POWER = 1e7 internal
+      power in the 350-3250 Hz band (P.862 `fix_power_level`);
+  2.  wideband input filter — P.862.2's ~100 Hz high-pass, applied here in
+      the frequency domain (folded into the per-frame power spectra; the
+      perceptual model only ever consumes |FFT|^2, so this is equivalent to
+      the time-domain IIR up to frame-boundary leakage);
+  3.  32 ms Hann frames, 50 % overlap, power spectra;
+  4.  Bark warping to 49 bands ("pitch power densities", scale Sp);
+  5.  partial frequency-response compensation of the REFERENCE toward the
+      degraded signal's average spectrum (ratio clipped to [0.01, 100]) —
+      this is what keeps P.862 from punishing linear EQ, and it matters for
+      NELE enhancement, which applies per-band gains by design;
+  6.  short-term gain compensation of the DEGRADED signal (per-frame audible
+      power ratio, clipped to [3e-4, 5], first-order smoothed 0.2/0.8);
+  7.  Zwicker loudness (exponent 0.23, low-band modification
+      min(6/(z+2), 2)^0.15, scale Sl);
+  8.  disturbance = loudness difference with a 0.25*min masking deadzone;
+      asymmetric disturbance via ((deg+50)/(ref+50))^1.2 in [3, 12];
+  9.  frame pooling: band-width-weighted Lp over Bark bands (p=2 symmetric /
+      p=1 asymmetric), frame weight ((P_ref+1e5)/1e7)^0.04, clip at 45;
+  10. time pooling: L6 over 20-frame "syllable" windows (50 % overlap), then
+      L2 over windows;
+  11. raw PESQ = 4.5 - 0.1*d_sym - 0.0309*d_asym, and the P.862.2 wideband
+      MOS-LQO map 0.999 + 4/(1 + exp(-1.3669 x + 3.8224)).
+
+Documented deviations from the ITU reference code (none of which the
+framework's training semantics depend on — the quality discriminator only
+consumes calibrated scores, reference dataloader.py:75, train_nele.py:152):
+
+  * the Bark band layout, band widths, and absolute hearing thresholds are
+    re-derived from the published formulas (Zwicker Hz->Bark map; Terhardt
+    threshold curve anchored at 79.8 dB SPL == internal power 1e7) instead
+    of copying the ITU tables;
+  * time alignment is reduced to an optional single global delay search
+    (`align_global`): in this framework enhanced audio is synthesized
+    frame-synchronously from the clean signal's own STFT, so the true delay
+    is exactly zero; P.862's crude/utterance/fine alignment machinery and
+    the "bad interval" re-alignment exist to handle VoIP delay jitter that
+    cannot occur here;
+  * silence/activity decisions use the same internal-power constants as the
+    ITU code (1e4 audible-power floor) but no per-utterance splitting.
+
+Everything is static-shape (padded batches with `n_valid` masks), so a whole
+validation corpus scores as one vmapped XLA program — replacing the
+reference's 32-process CPU pool (audio_util.py:205-228) with MXU matmuls and
+batched FFTs.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nelegan_tpu.dsp.stft import frame_signal, hann_periodic
+
+FS = 16000
+N_FFT = 512          # 32 ms at 16 kHz (P.862 Nf for 16k mode)
+HOP = 256            # 50 % overlap
+N_BARK = 49          # P.862 16 kHz band count
+SP_16K = 6.910853e-6     # P.862 power scale Sp (16 kHz mode)
+SL_16K = 1.866055e-1     # P.862 loudness scale Sl (16 kHz mode)
+TARGET_POWER = 1e7
+ZWICKER_POWER = 0.23
+D_WEIGHT, A_WEIGHT = 0.1, 0.0309
+SYLLABLE = 20        # frames per "split second" pooling window
+_EPS = 1e-12
+
+
+def _hz_to_bark(f: np.ndarray) -> np.ndarray:
+    """Zwicker/Terhardt critical-band rate (the P.862 warping curve family)."""
+    f = np.asarray(f, np.float64)
+    return 13.0 * np.arctan(0.00076 * f) + 3.5 * np.arctan((f / 7500.0) ** 2)
+
+
+@functools.lru_cache(maxsize=None)
+def _bark_tables():
+    """(assignment matrix [49, 257], band widths in Bark [49],
+    centre-of-band Bark [49], absolute threshold internal power [49],
+    WB input-filter power gain [257]).
+
+    Each rfft bin is assigned to exactly one of 49 uniform-width Bark bands
+    spanning 0..bark(8000); band "pitch power density" is the Sp-scaled sum
+    of its bins (the ITU code's nr_of_hz_bands_per_bark_band /
+    pow_dens_correction_factor scheme, re-derived).
+    """
+    n_bins = N_FFT // 2 + 1
+    f = np.arange(n_bins) * (FS / N_FFT)
+    zmax = _hz_to_bark(np.array([FS / 2.0]))[0]
+    width = zmax / N_BARK
+    z = _hz_to_bark(f)
+    band = np.minimum((z / width).astype(np.int64), N_BARK - 1)
+    m = np.zeros((N_BARK, n_bins), np.float64)
+    m[band, np.arange(n_bins)] = 1.0
+    widths = np.full(N_BARK, width)
+    centres = (np.arange(N_BARK) + 0.5) * width
+
+    # centre frequency of each band in Hz (inverse bark by interpolation)
+    fg = np.linspace(0, FS / 2, 4097)
+    centre_hz = np.interp(centres, _hz_to_bark(fg), fg)
+    # Terhardt absolute threshold (dB SPL); internal calibration: a frame of
+    # band-limited speech at the aligned level has total pitch power ~1e7,
+    # which P.862 equates with 79.8 dB SPL presentation.
+    fk = np.maximum(centre_hz, 20.0) / 1000.0
+    thr_db = (3.64 * fk ** -0.8
+              - 6.5 * np.exp(-0.6 * (fk - 3.3) ** 2)
+              + 1e-3 * fk ** 4)
+    abs_thresh = 10.0 ** ((np.clip(thr_db, -10.0, 90.0) - 9.8) / 10.0)
+
+    # P.862.2 wideband input filter: high-pass, -3 dB near 100 Hz
+    # (4th-order Butterworth magnitude response, applied on the bin grid).
+    fc = 100.0
+    hp_gain = 1.0 / (1.0 + (fc / np.maximum(f, 1e-3)) ** 8)
+    hp_gain[0] = 0.0
+    return m, widths, centres, abs_thresh, hp_gain
+
+
+@functools.lru_cache(maxsize=None)
+def _zwicker_exponents() -> np.ndarray:
+    """Per-band modified Zwicker exponent (low bands get a boosted power)."""
+    _, _, centres, _, _ = _bark_tables()
+    h = np.where(centres < 4.0, np.minimum(6.0 / (centres + 2.0), 2.0), 1.0)
+    return ZWICKER_POWER * h ** 0.15
+
+
+def _band_limited_msq(x: jnp.ndarray, n_valid, lo_hz=350.0, hi_hz=3250.0):
+    """Mean-square power of x restricted to [lo, hi] Hz (P.862 level band)."""
+    n = x.shape[-1]
+    spec = jnp.fft.rfft(x)
+    f = np.arange(n // 2 + 1) * (FS / n)
+    sel = jnp.asarray(((f >= lo_hz) & (f <= hi_hz)).astype(np.float32),
+                      x.dtype)
+    nv = (jnp.asarray(n, x.dtype) if n_valid is None
+          else n_valid.astype(x.dtype))
+    # Parseval: mean-square = 2/N^2 * sum |X_k|^2 over positive bins
+    return 2.0 / (n * nv) * jnp.sum(jnp.abs(spec) ** 2 * sel)
+
+
+def _pseudo_lp(d: jnp.ndarray, widths: jnp.ndarray, p: float) -> jnp.ndarray:
+    """Band-width-weighted Lp pooling over Bark bands (P.862 pseudo_Lp):
+    ( sum_b (|d_b| * w_b)^p / sum_b w_b )^(1/p) * sum_b w_b.  d: [T, 49]."""
+    total_w = jnp.sum(widths)
+    s = jnp.sum((jnp.abs(d) * widths) ** p, axis=-1) / total_w
+    return s ** (1.0 / p) * total_w
+
+
+def _lpq_weight(frame_d: jnp.ndarray, frame_w: jnp.ndarray,
+                p_syl: float = 6.0, p_time: float = 2.0) -> jnp.ndarray:
+    """P.862 Lpq time pooling: Lp over 20-frame windows stepping 10 (50 %
+    overlap), then Lq over windows.  `frame_w` in [0,1] marks valid frames;
+    fully-invalid windows carry zero weight."""
+    t = frame_d.shape[-1]
+    step = SYLLABLE // 2
+    n_win = max(1, -(-t // step))
+    pad = n_win * step + SYLLABLE - t
+    d = jnp.pad(frame_d, (0, pad))
+    w = jnp.pad(frame_w, (0, pad))
+    idx = (np.arange(n_win)[:, None] * step + np.arange(SYLLABLE)[None, :])
+    dw, ww = d[idx], w[idx]                       # [n_win, 20]
+    cnt = jnp.sum(ww, axis=-1)
+    syl = (jnp.sum((dw * ww) ** p_syl, axis=-1)
+           / jnp.maximum(cnt, 1.0)) ** (1.0 / p_syl)
+    win_w = jnp.minimum(cnt, 1.0)
+    total = jnp.sum((syl * win_w) ** p_time) / jnp.maximum(
+        jnp.sum(win_w), 1.0)
+    return total ** (1.0 / p_time)
+
+
+def _smooth_gain(h: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    """First-order smoothing g_t = 0.2 g_{t-1} + 0.8 h_t (P.862 short-term
+    gain memory) as an associative scan — parallel depth log T, not T."""
+    h = jnp.where(valid > 0, h, 1.0)
+    a = jnp.full_like(h, 0.2)
+    b = 0.8 * h
+
+    def combine(x, y):
+        (ax, bx), (ay, by) = x, y
+        return ax * ay, ay * bx + by
+
+    _, g = jax.lax.associative_scan(combine, (a, b))
+    # initial condition g_{-1} = 1: the scan above assumes g_{-1} = 0, so
+    # add the homogeneous term prod(a) * 1 = 0.2^(t+1)
+    t = h.shape[-1]
+    g = g + 0.2 ** jnp.arange(1, t + 1, dtype=h.dtype)
+    return g
+
+
+@functools.partial(jax.jit, static_argnames=("align_global",))
+def pesq_p862_16k(ref: jnp.ndarray, deg: jnp.ndarray,
+                  n_valid: jnp.ndarray | None = None,
+                  align_global: bool = False) -> jnp.ndarray:
+    """Raw P.862 PESQ score (≈ [-0.5, 4.5]) for 16 kHz signals.
+
+    Args:
+      ref / deg: equal-length 1-D signals (zero-padded beyond `n_valid`).
+      n_valid:   optional valid-sample count for padded/bucketed batches.
+      align_global: search a single global delay (±128 ms) by envelope
+        cross-correlation before scoring.  Unnecessary (and off) for this
+        framework's frame-synchronous enhancement outputs.
+    """
+    dt = ref.dtype
+    n = ref.shape[-1]
+    if n_valid is not None:
+        smask = (jnp.arange(n) < n_valid).astype(dt)
+        ref = ref * smask
+        deg = deg * smask
+
+    if align_global:
+        deg = _global_align(ref, deg)
+
+    # --- 1. level alignment -------------------------------------------------
+    ref = ref * jnp.sqrt(TARGET_POWER / jnp.maximum(
+        _band_limited_msq(ref, n_valid), _EPS))
+    deg = deg * jnp.sqrt(TARGET_POWER / jnp.maximum(
+        _band_limited_msq(deg, n_valid), _EPS))
+
+    # --- 3./2. frames -> power spectra, WB high-pass folded in --------------
+    bark_m, widths_np, _, thresh_np, hp_np = _bark_tables()
+    win = jnp.asarray(hann_periodic(N_FFT), dt)
+    fr = frame_signal(ref, N_FFT, HOP, center=False) * win   # [T, 512]
+    fd = frame_signal(deg, N_FFT, HOP, center=False) * win
+    hp = jnp.asarray(hp_np, dt)
+    pr = jnp.abs(jnp.fft.rfft(fr, axis=-1)) ** 2 * hp        # [T, 257]
+    pd = jnp.abs(jnp.fft.rfft(fd, axis=-1)) ** 2 * hp
+    t_frames = pr.shape[0]
+    if n_valid is None:
+        fmask = jnp.ones((t_frames,), dt)
+    else:
+        t_valid = jnp.maximum((n_valid - N_FFT) // HOP + 1, 1)
+        fmask = (jnp.arange(t_frames) < t_valid).astype(dt)
+
+    # --- 4. Bark pitch power densities --------------------------------------
+    bark = jnp.asarray(bark_m, dt)
+    widths = jnp.asarray(widths_np, dt)
+    thresh = jnp.asarray(thresh_np, dt)
+    ppr = SP_16K * (pr @ bark.T)                              # [T, 49]
+    ppd = SP_16K * (pd @ bark.T)
+
+    audible = lambda p: jnp.sum(jnp.where(p > thresh, p, 0.0), axis=-1)
+    aud_ref = audible(ppr) * fmask
+    aud_deg = audible(ppd) * fmask
+
+    # --- 5. partial frequency-response compensation (of the reference) ------
+    active = (aud_ref > 1e4).astype(dt) * fmask
+    n_act = jnp.maximum(jnp.sum(active), 1.0)
+    avg_r = jnp.sum(ppr * active[:, None], axis=0) / n_act
+    avg_d = jnp.sum(ppd * active[:, None], axis=0) / n_act
+    freq_comp = jnp.clip((avg_d + 1000.0) / (avg_r + 1000.0), 0.01, 100.0)
+    ppr = ppr * freq_comp[None, :]
+    aud_ref_c = audible(ppr) * fmask
+
+    # --- 6. short-term gain compensation (of the degraded) ------------------
+    h = jnp.clip((aud_ref_c + 5e3) / (aud_deg + 5e3), 3e-4, 5.0)
+    gain = _smooth_gain(h, fmask)
+    ppd = ppd * gain[:, None]
+
+    # --- 7. Zwicker loudness -------------------------------------------------
+    zw = jnp.asarray(_zwicker_exponents(), dt)
+
+    def loudness(p):
+        s = ((thresh / 0.5) ** zw
+             * ((0.5 + 0.5 * p / thresh) ** zw - 1.0))
+        return SL_16K * jnp.maximum(s, 0.0)
+
+    lr = loudness(ppr)
+    ld = loudness(ppd)
+
+    # --- 8. disturbance + asymmetry ------------------------------------------
+    d = ld - lr
+    dead = 0.25 * jnp.minimum(lr, ld)
+    d_sym = jnp.sign(d) * jnp.maximum(jnp.abs(d) - dead, 0.0)
+    asym = ((ppd + 50.0) / (ppr + 50.0)) ** 1.2
+    asym = jnp.where(asym < 3.0, 0.0, jnp.minimum(asym, 12.0))
+    d_asym = d_sym * asym
+
+    # --- 9. frame pooling -----------------------------------------------------
+    frame_sym = _pseudo_lp(d_sym, widths, 2.0)                # [T]
+    frame_asym = _pseudo_lp(d_asym, widths, 1.0)
+    fw = ((aud_ref + 1e5) / 1e7) ** 0.04
+    frame_sym = jnp.minimum(frame_sym / fw, 45.0) * fmask
+    frame_asym = jnp.minimum(frame_asym / fw, 45.0) * fmask
+
+    # --- 10./11. time pooling -> raw PESQ -------------------------------------
+    d_ind = _lpq_weight(frame_sym, fmask)
+    a_ind = _lpq_weight(frame_asym, fmask)
+    return 4.5 - D_WEIGHT * d_ind - A_WEIGHT * a_ind
+
+
+def _global_align(ref: jnp.ndarray, deg: jnp.ndarray) -> jnp.ndarray:
+    """Single global delay estimate (P.862 crude alignment, 4 ms envelope
+    cross-correlation) applied as a roll of the degraded signal."""
+    blk = 64  # 4 ms at 16 kHz
+    n = ref.shape[-1] // blk * blk
+    er = jnp.log1p(jnp.sum(ref[:n].reshape(-1, blk) ** 2, axis=-1))
+    ed = jnp.log1p(jnp.sum(deg[:n].reshape(-1, blk) ** 2, axis=-1))
+    er = er - jnp.mean(er)
+    ed = ed - jnp.mean(ed)
+    m = er.shape[0]
+    fr = jnp.fft.rfft(er, n=2 * m)
+    fd = jnp.fft.rfft(ed, n=2 * m)
+    xc = jnp.fft.irfft(fr * jnp.conj(fd), n=2 * m)
+    max_lag = min(m - 1, (FS // blk) * 128 // 1000)  # ±128 ms
+    lags = jnp.concatenate([jnp.arange(max_lag + 1),
+                            jnp.arange(-max_lag, 0)])
+    vals = jnp.concatenate([xc[:max_lag + 1], xc[-max_lag:]])
+    delay_blocks = lags[jnp.argmax(vals)]
+    return jnp.roll(deg, delay_blocks * blk)
+
+
+def mos_lqo_wb(raw_pesq: jnp.ndarray) -> jnp.ndarray:
+    """P.862.2 wideband raw-score -> MOS-LQO mapping."""
+    return 0.999 + 4.0 / (1.0 + jnp.exp(-1.3669 * raw_pesq + 3.8224))
+
+
+def pesq_p862(ref, deg, fs: int = 16000, align_global: bool = False):
+    """Host-friendly wrapper: trims to equal length, returns raw PESQ."""
+    assert fs == FS, "pesq_p862 expects 16 kHz input"
+    n = min(ref.shape[-1], deg.shape[-1])
+    return pesq_p862_16k(jnp.asarray(ref)[..., :n],
+                         jnp.asarray(deg)[..., :n],
+                         align_global=align_global)

@@ -1,0 +1,110 @@
+"""Property tests for the full-structure P.862 PESQ model.
+
+No PESQ oracle is installable here (pypesq absent), so these check the
+defining behaviors of the standard: perfect score on identity, monotone
+degradation with noise, tolerance to linear EQ and gain (P.862's frequency /
+gain compensation stages), delay recovery, padded-batch equivalence, and
+differentiability (the model doubles as a training loss surface).
+"""
+import numpy as np
+import pytest
+import scipy.io.wavfile as wavfile
+
+import jax
+import jax.numpy as jnp
+
+from nelegan_tpu.metrics.pesq import pesq_p862, pesq_p862_16k, mos_lqo_wb
+
+
+@pytest.fixture(scope="module")
+def toy():
+    _, c = wavfile.read(
+        "/root/reference/toy_dataset/Train/Clean/f_hvd_100#Babble#-11.wav")
+    _, n = wavfile.read(
+        "/root/reference/toy_dataset/Train/Noise/f_hvd_100#Babble#-11.wav")
+    return (c / 32768.0).astype(np.float64), (n / 32768.0).astype(np.float64)
+
+
+def test_self_score_is_max(toy):
+    clean, _ = toy
+    assert abs(float(pesq_p862(clean, clean)) - 4.5) < 1e-6
+
+
+def test_monotone_in_snr(toy):
+    clean, noise = toy
+    scores = [float(pesq_p862(clean, clean + g * noise))
+              for g in [0.05, 0.2, 0.7, 2.0]]
+    assert all(a > b for a, b in zip(scores, scores[1:])), scores
+    assert scores[0] > 2.5            # light babble: fair-to-good
+    assert scores[-1] < 2.0           # heavy babble: bad
+    assert scores[-1] > -0.5          # raw P.862 floor
+
+
+def test_gain_invariance(toy):
+    clean, _ = toy
+    assert abs(float(pesq_p862(clean, 3.0 * clean)) - 4.5) < 1e-3
+
+
+def test_linear_eq_tolerated(toy):
+    """P.862's partial frequency compensation keeps mild EQ near-transparent
+    — essential for NELE, whose whole output is a per-band re-EQ."""
+    from scipy.signal import lfilter
+    clean, noise = toy
+    eq = lfilter([1.0, -0.3], [1.0], clean)
+    assert float(pesq_p862(clean, eq)) > 4.2
+    # ... while actual distortion at the same spectral tilt is still caught
+    assert float(pesq_p862(clean, eq + 0.5 * noise)) < 3.5
+
+
+def test_global_alignment_recovers_delay(toy):
+    clean, _ = toy
+    delayed = np.roll(clean, 960)  # 60 ms
+    misaligned = float(pesq_p862(clean, delayed))
+    aligned = float(pesq_p862(clean, delayed, align_global=True))
+    assert aligned > misaligned + 1.0
+    assert aligned > 4.0
+
+
+def test_padded_matches_trimmed(toy):
+    clean, noise = toy
+    deg = clean + 0.5 * noise
+    exact = float(pesq_p862(clean, deg))
+    n = len(clean)
+    pad = np.zeros(n + 7000)
+    ref_p, deg_p = pad.copy(), pad.copy()
+    ref_p[:n], deg_p[:n] = clean, deg
+    padded = float(pesq_p862_16k(jnp.asarray(ref_p), jnp.asarray(deg_p),
+                                 n_valid=jnp.asarray(n)))
+    assert abs(exact - padded) < 0.02, (exact, padded)
+
+
+def test_vmap_matches_loop(toy):
+    clean, noise = toy
+    n = len(clean)
+    refs = np.stack([clean, clean]).astype(np.float32)
+    degs = np.stack([clean + 0.3 * noise, clean + 1.0 * noise]
+                    ).astype(np.float32)
+    nv = jnp.asarray([n, n], jnp.int32)
+    batched = jax.vmap(pesq_p862_16k)(jnp.asarray(refs), jnp.asarray(degs),
+                                      nv)
+    single = [float(pesq_p862_16k(jnp.asarray(refs[i]), jnp.asarray(degs[i]),
+                                  jnp.asarray(n))) for i in range(2)]
+    np.testing.assert_allclose(np.asarray(batched), single, atol=1e-4)
+
+
+def test_differentiable(toy):
+    clean, noise = toy
+    deg = jnp.asarray((clean + 0.5 * noise).astype(np.float32))
+    g = jax.grad(lambda d: pesq_p862_16k(jnp.asarray(
+        clean.astype(np.float32)), d))(deg)
+    g = np.asarray(g)
+    assert np.all(np.isfinite(g))
+    assert np.abs(g).max() > 0.0
+
+
+def test_mos_lqo_map():
+    raw = jnp.asarray([-0.5, 1.0, 2.0, 3.0, 4.5])
+    lqo = np.asarray(mos_lqo_wb(raw))
+    assert np.all(np.diff(lqo) > 0)
+    assert lqo[0] > 0.99 and lqo[-1] < 5.0
+    assert abs(lqo[-1] - 4.55) < 0.15  # clean speech maps near MOS 4.5
