@@ -119,11 +119,21 @@ def one_pole_cascade(x: jnp.ndarray, a, order: int, axis: int = -1,
 def _fft_len(n: int) -> int:
     """Smallest 2^k or 3*2^k >= 2n (XLA's TPU FFT handles the radix-3 factor
     efficiently; measured ~33% faster than rounding up to the next 2^k)."""
+    return _fft_len_ir(n, n)
+
+
+def _fft_len_ir(n: int, ir_len: int) -> int:
+    """Smallest 2^k or 3*2^k >= n + ir_len: the exact linear-convolution FFT
+    size for a length-n signal against a length-ir_len kernel.  The auditory
+    model's impulse responses decay exponentially, so truncating them at the
+    f32 noise floor (caller picks ir_len from the slowest pole) typically
+    halves the FFT size vs the full 2n rule."""
+    need = n + ir_len
     m = 1
-    while m < 2 * n:
+    while m < need:
         m *= 2
     m3 = 3 * (m // 4)
-    return m3 if m3 >= 2 * n else m
+    return m3 if m3 >= need else m
 
 
 def fft_causal_conv(x: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:

@@ -54,11 +54,16 @@ def _enhance_wavs(gen_params, feats: BatchFeatures, cfg: Config):
 def direct_metric_loss(gen_params, feats: BatchFeatures,
                        clean_wavs: jnp.ndarray, noise_wavs: jnp.ndarray,
                        cfg: Config = Config(),
-                       haspi_weight: float = 0.0) -> jnp.ndarray:
+                       haspi_weight: float = 0.0,
+                       pesq_weight: float = 0.0) -> jnp.ndarray:
     """-mean differentiable metric of (clean, enhanced + noise).
 
     clean_wavs/noise_wavs: unpadded-layout [B, n] buffers (zero tails),
-    aligned with feats.  Returns a scalar loss.
+    aligned with feats.  Returns a scalar loss.  `pesq_weight` adds the
+    differentiable P.862 quality term on (clean, enhanced) — the quality
+    metrics hear the enhanced signal without noise (reference intel.py
+    wrapper semantics) — balancing intelligibility against the spectral
+    distortion the NELE re-EQ introduces.
     """
     enh, out_len = _enhance_wavs(gen_params, feats, cfg)
     n = min(enh.shape[-1], clean_wavs.shape[-1])
@@ -78,17 +83,26 @@ def direct_metric_loss(gen_params, feats: BatchFeatures,
         hasp = jax.vmap(lambda a, b, v: haspi_v2_24k(a, b, n_valid=v)[0])(
             ref24, noisy24, nv24)
         loss = loss - haspi_weight * jnp.mean(hasp)
+
+    if pesq_weight > 0.0:
+        from nelegan_tpu.metrics.pesq import pesq_p862_16k
+        pq = jax.vmap(pesq_p862_16k)(ref, enh[:, :n], out_len)
+        # scale raw PESQ ([-0.5, 4.5]) to the unit metric range
+        loss = loss - pesq_weight * jnp.mean((pq - 1.0) / 3.5)
     return loss
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "haspi_weight", "lr"))
+@functools.partial(jax.jit, static_argnames=("cfg", "haspi_weight",
+                                             "pesq_weight", "lr"))
 def direct_g_step(gen_params, opt_state, feats: BatchFeatures,
                   clean_wavs, noise_wavs, cfg: Config = Config(),
-                  haspi_weight: float = 0.0, lr: float = 5e-4):
+                  haspi_weight: float = 0.0, pesq_weight: float = 0.0,
+                  lr: float = 5e-4):
     """One direct-metric gradient step on the generator.
     Returns (gen_params, opt_state, loss)."""
     loss, grads = jax.value_and_grad(direct_metric_loss)(
-        gen_params, feats, clean_wavs, noise_wavs, cfg, haspi_weight)
+        gen_params, feats, clean_wavs, noise_wavs, cfg, haspi_weight,
+        pesq_weight)
     opt = optax.adam(lr)
     updates, opt_state = opt.update(grads, opt_state, gen_params)
     return optax.apply_updates(gen_params, updates), opt_state, loss

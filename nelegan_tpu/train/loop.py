@@ -206,7 +206,7 @@ class Trainer:
             noises.append(read_wav(os.path.join(index.noise_dir, name))[0])
             enhs.append(read_wav(p)[0])
         return score_corpus(cleans, noises, enhs, self.cfg.train.fs,
-                            norm=norm, metrics=metrics)
+                            norm=norm, metrics=metrics, mesh=self.mesh)
 
     # ------------------------------------------------------------------
     def _cached_bands(self, batch) -> tuple:

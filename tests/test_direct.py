@@ -63,3 +63,13 @@ def test_direct_steps_improve_estoi(setup):
     enh0 = np.asarray(pipeline.enhance_batch(params0, feats)[0])[0]
     e_init = float(estoi(clean[:m], enh0[:m] + noise[:m], 16000))
     assert e_trained > e_init, (e_trained, e_init)
+
+
+def test_gradients_flow_through_pesq(setup):
+    cfg, params, feats, wavs_c, wavs_n, *_ = setup
+    grads = jax.grad(direct_metric_loss)(params, feats, wavs_c, wavs_n, cfg,
+                                         0.0, 1.0)  # pesq_weight only
+    norms = [float(np.abs(np.asarray(g)).max())
+             for g in jax.tree.leaves(grads)]
+    assert all(np.isfinite(n) for n in norms)
+    assert max(norms) > 1e-8

@@ -72,3 +72,38 @@ def test_dp_tp_d_step(batch):
     _, ld1, lq1 = gan.d_step(state_r, *args_s, cfg)
     np.testing.assert_allclose(float(ld1), float(ld0), rtol=1e-5)
     np.testing.assert_allclose(float(lq1), float(lq0), rtol=1e-5)
+
+
+def test_score_corpus_sharded_matches_single():
+    """Mesh-sharded corpus scoring equals unsharded scoring utterance-wise
+    (utterances are independent; GSPMD should insert zero collectives)."""
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    import scipy.io.wavfile as wavfile
+    from nelegan_tpu.metrics import score_corpus
+    _, c = wavfile.read(
+        "/root/reference/toy_dataset/Train/Clean/f_hvd_100#Babble#-11.wav")
+    _, n = wavfile.read(
+        "/root/reference/toy_dataset/Train/Noise/f_hvd_100#Babble#-11.wav")
+    clean = (c / 32768.0).astype(np.float32)
+    noise = (n / 32768.0).astype(np.float32)
+    rng = np.random.RandomState(1)
+    # 5 short utterances (deliberately not a multiple of the data axis) of
+    # different lengths and degradations; SIIB is exercised unsharded
+    # elsewhere (its 20 s tiling is too heavy for the virtual CPU mesh)
+    cleans, noises, enhs = [], [], []
+    for i in range(5):
+        m = 12000 - 1000 * i
+        cleans.append(clean[:m])
+        noises.append(noise[:m])
+        enhs.append(clean[:m] + 0.1 * i * noise[:m]
+                    + 0.01 * rng.randn(m).astype(np.float32))
+    metrics = ("estoi", "pesq", "visqol", "haspi")
+    single = score_corpus(cleans, noises, enhs, norm=False, metrics=metrics,
+                          bucket_quant=4096)
+    mesh = make_mesh(8, model_parallel=1)
+    sharded = score_corpus(cleans, noises, enhs, norm=False, metrics=metrics,
+                           mesh=mesh, vmap_chunk=1, bucket_quant=4096)
+    for s, h in zip(single, sharded):
+        for k in metrics:
+            assert abs(s[k] - h[k]) <= 1e-3 * max(1.0, abs(s[k])), (k, s, h)
