@@ -191,6 +191,18 @@ def measure_extras() -> dict:
         _ = float(estoi_10k(x10, y10))
     out["estoi_scores_per_sec"] = round(10 / (time.perf_counter() - t0), 2)
 
+    # config 3 addendum: full ITU-T P.862 PESQ, 8-wide batched
+    from nelegan_tpu.metrics.pesq import pesq_p862_16k
+    refs = jnp.asarray(np.stack([clean] * 8))
+    degs = jnp.asarray(np.stack([clean + 0.3 * noise] * 8))
+    nv = jnp.full((8,), len(clean), jnp.int32)
+    pq = jax.jit(jax.vmap(pesq_p862_16k))
+    _ = np.asarray(pq(refs, degs, nv))
+    t0 = time.perf_counter()
+    for _ in range(5):
+        _ = np.asarray(pq(refs, degs, nv))
+    out["pesq_scores_per_sec"] = round(40 / (time.perf_counter() - t0), 2)
+
     # config 2 addendum: P.56 active-speech-level normalization, batched
     wavs = jnp.asarray(np.stack([clean] * BATCH))
     _ = np.asarray(pipeline.active_speech_level_batch(wavs))
