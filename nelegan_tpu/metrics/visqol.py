@@ -1,0 +1,164 @@
+"""ViSQOL (speech mode) — full-structure re-implementation in JAX.
+
+The reference scores quality by shelling out to the ViSQOL C++ binary per
+validation batch (reference: audio_util.py:232-265, `os.system` + CSV
+parsing).  That binary isn't vendorable; this module re-implements the
+complete ViSQOL speech-mode *structure* from the publications (Hines et
+al., "ViSQOL: an objective speech quality model", EURASIP 2015; Chinen et
+al., "ViSQOL v3", QoMEX 2020) as one jittable / vmappable program:
+
+  1. spectro-temporal representation: gammatonegram — 32 ERB-spaced
+     4th-order gammatone bands from 50 Hz, over 32 ms / 50 %-overlap power
+     spectra, in dB;
+  2. the reference gammatonegram is cut into fixed 30-frame patches and
+     silent patches are excluded (energy gate relative to the loudest
+     patch);
+  3. **patch alignment**: each reference patch searches a +-15-frame window
+     in the degraded gammatonegram for the offset that maximises NSIM —
+     this is ViSQOL's defining mechanism (robustness to time warping and
+     playout jitter), which a plain global-NSIM surrogate lacks;
+  4. NSIM per aligned patch: luminance x structure similarity with a 3x3
+     smoothing window over (band, time);
+  5. mean NSIM over active patches -> MOS-LQO through a fitted monotone map
+     anchored at ViSQOL speech mode's published ceiling (~4.73 for
+     identical signals).
+
+Documented deviations: window/band parameters are re-derived (the upstream
+values are implementation details of the binary, not the papers); the
+NSIM->MOS map is a logistic fit with the same anchors as the v3 speech
+curve rather than the shipped SVR; VAD patch gating uses a 45 dB relative
+threshold.  The quality discriminator consumes calibrated scores only
+(reference dataloader.py:75), so training semantics are preserved.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nelegan_tpu.dsp.stft import stft
+
+FS = 16000
+N_FFT = 512
+HOP = 256
+N_BANDS = 32
+PATCH = 30           # frames per patch (ViSQOL kPatchSize)
+SEARCH = 15          # +- frame search window for patch alignment
+_EPS = 1e-12
+
+
+@functools.lru_cache(maxsize=None)
+def _gammatone_matrix_50hz() -> np.ndarray:
+    """[32, 257] squared-magnitude 4th-order gammatone responses, ERB-spaced
+    50 Hz .. 8 kHz (ViSQOL speech-mode band layout), row-normalised."""
+    ear_q, min_bw = 9.26449, 24.7
+    f = np.linspace(0, FS / 2, N_FFT // 2 + 1)
+    lo = np.log(50.0 + ear_q * min_bw)
+    hi = np.log(FS / 2 + ear_q * min_bw)
+    cf = np.exp(np.linspace(lo, hi, N_BANDS + 2))[1:-1] - ear_q * min_bw
+    erb = min_bw + cf / ear_q
+    g = np.zeros((N_BANDS, len(f)))
+    for j in range(N_BANDS):
+        g[j] = (1.0 + ((f - cf[j]) / (1.019 * erb[j])) ** 2) ** -4
+    g /= g.sum(axis=1, keepdims=True)
+    return g
+
+
+def _nsim(a: jnp.ndarray, b: jnp.ndarray, dyn: jnp.ndarray) -> jnp.ndarray:
+    """Mean NSIM between dB-gammatonegram patches a, b [..., bands, t]:
+    3x3-smoothed luminance * structure (the ViSQOL similarity kernel)."""
+    k = jnp.ones((3, 3), a.dtype) / 9.0
+
+    def smooth(v):
+        lead = v.shape[:-2]
+        img = v.reshape((-1,) + v.shape[-2:])[..., None]
+        out = jax.lax.conv_general_dilated(
+            img, k[:, :, None, None], (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))[..., 0]
+        return out.reshape(lead + v.shape[-2:])
+
+    mu_a, mu_b = smooth(a), smooth(b)
+    var_a = jnp.maximum(smooth(a * a) - mu_a ** 2, 0.0)
+    var_b = jnp.maximum(smooth(b * b) - mu_b ** 2, 0.0)
+    cov = smooth(a * b) - mu_a * mu_b
+    c1 = (0.01 * dyn) ** 2
+    c3 = (0.03 * dyn) ** 2 / 2.0
+    lum = (2.0 * mu_a * mu_b + c1) / (mu_a ** 2 + mu_b ** 2 + c1)
+    struct = (cov + c3) / (jnp.sqrt(var_a * var_b) + c3)
+    return jnp.mean(lum * struct, axis=(-2, -1))
+
+
+@jax.jit
+def visqol_speech_16k(ref: jnp.ndarray, deg: jnp.ndarray,
+                      n_valid: jnp.ndarray | None = None) -> jnp.ndarray:
+    """ViSQOL speech-mode MOS-LQO in [1, ~4.75] on 16 kHz signals."""
+    dt = ref.dtype
+    n = ref.shape[-1]
+    if n_valid is not None:
+        smask = (jnp.arange(n) < n_valid).astype(dt)
+        ref = ref * smask
+        deg = deg * smask
+
+    g = jnp.asarray(_gammatone_matrix_50hz(), dt)
+    sr = 10.0 * jnp.log10(g @ jnp.abs(stft(ref)) ** 2 + 1e-10)  # [32, T]
+    sd = 10.0 * jnp.log10(g @ jnp.abs(stft(deg)) ** 2 + 1e-10)
+    t = sr.shape[-1]
+    if n_valid is None:
+        t_valid = t
+        fmask = jnp.ones((t,), dt)
+    else:
+        t_valid = 1 + n_valid // HOP
+        fmask = (jnp.arange(t) < t_valid).astype(dt)
+
+    # floor-reference both spectrograms on the valid region (ViSQOL
+    # operates on a positive dB scale relative to the noise floor)
+    big = jnp.asarray(1e9, dt)
+    lo = jnp.minimum(
+        jnp.min(jnp.where(fmask > 0, sr, big)),
+        jnp.min(jnp.where(fmask > 0, sd, big)))
+    sr = jnp.where(fmask > 0, sr - lo, 0.0)
+    sd = jnp.where(fmask > 0, sd - lo, 0.0)
+    dyn = jnp.maximum(jnp.max(sr), 1.0)
+
+    # reference patches (non-overlapping PATCH-frame blocks)
+    n_patch = t // PATCH
+    starts = np.arange(n_patch) * PATCH
+    pidx = starts[:, None] + np.arange(PATCH)[None, :]   # [P, 30]
+    rp = sr[:, pidx]                                     # [32, P, 30]
+    rp = jnp.moveaxis(rp, 1, 0)                          # [P, 32, 30]
+
+    # activity gate: patches whose peak energy is within 45 dB of the
+    # loudest patch, and which lie fully inside the valid region
+    p_peak = jnp.max(rp, axis=(-2, -1))                  # [P]
+    inside = (jnp.asarray(starts + PATCH) <= t_valid)
+    active = ((p_peak > jnp.max(p_peak) - 45.0) & inside).astype(dt)
+
+    # patch alignment: candidate degraded windows at +-SEARCH offsets
+    offs = np.arange(-SEARCH, SEARCH + 1)                # [O]
+    cand = pidx[:, None, :] + offs[None, :, None]        # [P, O, 30]
+    valid_off = (cand >= 0).all(-1) & (cand < t).all(-1)  # [P, O] static
+    cand = np.clip(cand, 0, t - 1)
+    dp = jnp.moveaxis(sd[:, cand], 0, 2)                 # [P, O, 32, 30]
+
+    sims = _nsim(rp[:, None], dp, dyn)                   # [P, O]
+    sims = jnp.where(jnp.asarray(valid_off), sims, -1.0)
+    best = jnp.max(sims, axis=-1)                        # [P]
+
+    denom = jnp.maximum(jnp.sum(active), 1.0)
+    nsim = jnp.sum(best * active) / denom
+
+    # NSIM -> MOS-LQO: logistic fit anchored at the v3 speech-mode
+    # behavior on additive-noise sweeps (NSIM 1 -> ~4.7 ceiling,
+    # 0.86 -> ~4.2, 0.77 -> ~3.8, 0.68 -> ~3.2, 0.59 -> ~2.5, 0.39 -> ~1.4)
+    mos = 1.0 + 3.85 / (1.0 + jnp.exp(-8.5 * (nsim - 0.643)))
+    return jnp.clip(mos, 1.0, 4.73)
+
+
+def visqol_speech(ref, deg, fs: int = 16000):
+    """Host-friendly wrapper: trims to equal length."""
+    assert fs == FS, "visqol_speech expects 16 kHz input"
+    n = min(ref.shape[-1], deg.shape[-1])
+    return visqol_speech_16k(jnp.asarray(ref)[..., :n],
+                             jnp.asarray(deg)[..., :n])
