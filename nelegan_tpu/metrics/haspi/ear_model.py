@@ -343,7 +343,7 @@ def ear_model(x24: jnp.ndarray, y24: jnp.ndarray,
 
             def gfilter(bw):
                 a, _, _, gain = _gammatone_coeffs(bw, cf, dt)
-                h_f = jnp.fft.rfft(gammatone_ir(a, n, dt), m)
+                h_f = jnp.fft.rfft(gammatone_ir(a, l_gam, dt), m)
                 ur = jnp.fft.irfft(xc_f * h_f, m)[..., :n]
                 ui = jnp.fft.irfft(xs_f * h_f, m)[..., :n]
                 return gain, ur, ui

@@ -146,12 +146,25 @@ def _band_limited_msq(x: jnp.ndarray, n_valid, lo_hz=350.0, hi_hz=3250.0):
     return 2.0 / (n * nv) * jnp.sum(jnp.abs(spec) ** 2 * sel)
 
 
+def _safe_root(s: jnp.ndarray, q: float) -> jnp.ndarray:
+    """s ** q with finite gradient at s == 0 (value-exact).
+
+    Fractional powers have d/ds = inf at 0, and silent/padded frames have
+    exactly-zero pooled disturbance — a bare root would emit NaN gradients
+    through the whole graph (this model doubles as a training loss, see
+    train/direct.py pesq_weight).  The double-where evaluates the power
+    only on the positive branch, so both value and gradient are clean."""
+    pos = s > 0
+    safe = jnp.where(pos, s, 1.0)
+    return jnp.where(pos, safe ** q, 0.0)
+
+
 def _pseudo_lp(d: jnp.ndarray, widths: jnp.ndarray, p: float) -> jnp.ndarray:
     """Band-width-weighted Lp pooling over Bark bands (P.862 pseudo_Lp):
     ( sum_b (|d_b| * w_b)^p / sum_b w_b )^(1/p) * sum_b w_b.  d: [T, 49]."""
     total_w = jnp.sum(widths)
     s = jnp.sum((jnp.abs(d) * widths) ** p, axis=-1) / total_w
-    return s ** (1.0 / p) * total_w
+    return _safe_root(s, 1.0 / p) * total_w
 
 
 def _lpq_weight(frame_d: jnp.ndarray, frame_w: jnp.ndarray,
@@ -168,12 +181,12 @@ def _lpq_weight(frame_d: jnp.ndarray, frame_w: jnp.ndarray,
     idx = (np.arange(n_win)[:, None] * step + np.arange(SYLLABLE)[None, :])
     dw, ww = d[idx], w[idx]                       # [n_win, 20]
     cnt = jnp.sum(ww, axis=-1)
-    syl = (jnp.sum((dw * ww) ** p_syl, axis=-1)
-           / jnp.maximum(cnt, 1.0)) ** (1.0 / p_syl)
+    syl = _safe_root(jnp.sum((dw * ww) ** p_syl, axis=-1)
+                     / jnp.maximum(cnt, 1.0), 1.0 / p_syl)
     win_w = jnp.minimum(cnt, 1.0)
     total = jnp.sum((syl * win_w) ** p_time) / jnp.maximum(
         jnp.sum(win_w), 1.0)
-    return total ** (1.0 / p_time)
+    return _safe_root(total, 1.0 / p_time)
 
 
 def _smooth_gain(h: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:

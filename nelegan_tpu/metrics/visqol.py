@@ -105,6 +105,12 @@ def visqol_speech_16k(ref: jnp.ndarray, deg: jnp.ndarray,
     sr = 10.0 * jnp.log10(g @ jnp.abs(stft(ref)) ** 2 + 1e-10)  # [32, T]
     sd = 10.0 * jnp.log10(g @ jnp.abs(stft(deg)) ** 2 + 1e-10)
     t = sr.shape[-1]
+    if t < PATCH:  # sub-patch clips: pad the frame axis to one full patch
+        sr = jnp.pad(sr, ((0, 0), (0, PATCH - t)), constant_values=-100.0)
+        sd = jnp.pad(sd, ((0, 0), (0, PATCH - t)), constant_values=-100.0)
+        if n_valid is None:
+            n_valid = jnp.asarray(n)
+        t = PATCH
     if n_valid is None:
         t_valid = t
         fmask = jnp.ones((t,), dt)
@@ -130,9 +136,16 @@ def visqol_speech_16k(ref: jnp.ndarray, deg: jnp.ndarray,
     rp = jnp.moveaxis(rp, 1, 0)                          # [P, 32, 30]
 
     # activity gate: patches whose peak energy is within 45 dB of the
-    # loudest patch, and which lie fully inside the valid region
+    # loudest patch, and which lie fully inside the valid region.  When NO
+    # patch fits (valid region shorter than 30 frames), fall back to the
+    # first patch — its invalid tail is zero in both spectrograms, which
+    # NSIM treats as identical, so short clips still score instead of
+    # collapsing to the floor.  The fallback fires identically for a
+    # trimmed short clip and for the same clip inside a padded bucket.
     p_peak = jnp.max(rp, axis=(-2, -1))                  # [P]
-    inside = (jnp.asarray(starts + PATCH) <= t_valid)
+    fully = (jnp.asarray(starts + PATCH) <= t_valid)
+    first = jnp.arange(n_patch) == 0
+    inside = jnp.where(jnp.any(fully), fully, first & (t_valid > 1))
     active = ((p_peak > jnp.max(p_peak) - 45.0) & inside).astype(dt)
 
     # patch alignment: candidate degraded windows at +-SEARCH offsets

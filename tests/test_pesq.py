@@ -108,3 +108,20 @@ def test_mos_lqo_map():
     assert np.all(np.diff(lqo) > 0)
     assert lqo[0] > 0.99 and lqo[-1] < 5.0
     assert abs(lqo[-1] - 4.55) < 0.15  # clean speech maps near MOS 4.5
+
+
+def test_gradient_finite_on_padded_and_identical(toy):
+    """Silent/padded frames have exactly-zero pooled disturbance; the
+    fractional Lp roots must not emit NaN gradients there (regression:
+    the pesq_weight training term would poison the model)."""
+    clean, noise = toy
+    n = len(clean)
+    ref = np.zeros(n + 8192, np.float32)
+    deg = np.zeros(n + 8192, np.float32)
+    ref[:n] = clean
+    deg[:n] = clean + 0.3 * noise
+    f = lambda d: pesq_p862_16k(jnp.asarray(ref), d, jnp.asarray(n))
+    g = np.asarray(jax.grad(f)(jnp.asarray(deg)))
+    assert np.all(np.isfinite(g)) and np.abs(g).max() > 0
+    g_self = np.asarray(jax.grad(f)(jnp.asarray(ref)))
+    assert np.all(np.isfinite(g_self))

@@ -71,3 +71,21 @@ def test_vmap_matches_loop(toy):
     single = [float(visqol_speech_16k(refs[i], degs[i], jnp.asarray(m)))
               for i in range(2)]
     np.testing.assert_allclose(batched, single, atol=1e-4)
+
+
+def test_short_clips_score(toy):
+    """Sub-patch (< 30 frame) clips must score via the first-patch
+    fallback instead of crashing / collapsing to the floor (regression)."""
+    clean, noise = toy
+    short = clean[:4000]
+    s_self = float(visqol_speech(short, short))
+    s_deg = float(visqol_speech(short, short + 0.5 * noise[:4000]))
+    assert s_self > 4.3
+    assert s_deg < s_self
+    # and the same short clip inside a padded bucket scores identically
+    pad = np.zeros(16384, np.float32)
+    a, b = pad.copy(), pad.copy()
+    a[:4000], b[:4000] = short, short + 0.5 * noise[:4000]
+    s_bucket = float(visqol_speech_16k(jnp.asarray(a), jnp.asarray(b),
+                                       n_valid=jnp.asarray(4000)))
+    assert abs(s_bucket - s_deg) < 0.02, (s_bucket, s_deg)

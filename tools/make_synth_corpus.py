@@ -109,12 +109,13 @@ def main():
             kind = NOISE_TYPES[i % len(NOISE_TYPES)]
             snr_tag = int(rng.choice([-11, -7, -3]))
             noise = synth_noise(rng, kind, len(speech))
-            # the corpus stores noise at its own RMS; SNR is in the name
-            # only (reference file naming: name#NoiseType#SNR.wav)
+            # the stored noise embodies the named SNR relative to the
+            # RMS-0.03 speech (reference file naming name#NoiseType#SNR.wav;
+            # the pipeline mixes clean + noise as-is, never re-scales)
             name = f"s_{split.lower()}_{i:04d}#{kind}#{snr_tag}.wav"
             write_wav(os.path.join(args.out, split, "Clean", name), speech)
             write_wav(os.path.join(args.out, split, "Noise", name),
-                      _rms_norm(noise) * 10 ** (-snr_tag / 20.0) * 1.0)
+                      _rms_norm(noise) * 10 ** (-snr_tag / 20.0))
             if split == "Train":
                 write_wav(os.path.join(args.out, split, "MultiEnh", name),
                           ssdrc_like(speech))
