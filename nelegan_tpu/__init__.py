@@ -8,7 +8,8 @@ Layers (mirrors the reference's layer map, re-architected TPU-first):
   models/   Generator (causal conv + cumulative LayerNorm) and the two
             MetricGAN discriminators (spectral-norm conv trunks), in flax
   metrics/  On-device differentiable intelligibility & quality metrics
-            (ESTOI, SIIB^Gauss, HASPI v1/v2, HASQI v2, PESQ/ViSQOL proxies)
+            (ESTOI, SIIB^Gauss, HASPI v1/v2, HASQI v2, full ITU-T P.862
+            PESQ, ViSQOL speech mode)
   ops/      Pallas/associative-scan kernels for the IIR hot loops
   data/     Bucketed/padded utterance batching (native C++ wav loader)
   train/    Jitted GAN steps, replay buffer, orbax checkpointing
