@@ -37,6 +37,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="shard batches over all devices ('data' mesh axis)")
     p.add_argument("--resume", action="store_true",
                    help="resume from the latest checkpoint")
+    p.add_argument("--max-retries", type=int, default=0,
+                   help="elastic recovery: on transient failures, rebuild "
+                        "the trainer, resume from the latest checkpoint, "
+                        "and continue (up to N extra attempts)")
     p.add_argument("--init-from-torch", default=None,
                    help="reference chkpt_GD.pt to initialise from")
     p.add_argument("--platform", default=None,
@@ -67,17 +71,27 @@ def main(argv=None):
         checkpoints=args.checkpoints, log_file=args.log_file)
 
     metrics = tuple(m.strip() for m in args.metrics.split(",") if m.strip())
-    trainer = Trainer(paths, cfg, metric_set=metrics,
-                      data_parallel=args.data_parallel)
-    if args.init_from_torch:
-        from nelegan_tpu.train.checkpoint import load_reference_checkpoint
-        trainer.state = load_reference_checkpoint(args.init_from_torch,
-                                                  trainer.state)
-        print(f"initialised from {args.init_from_torch}")
-    if args.resume:
-        trainer.resume()
-        print(f"resumed at epoch {trainer.start_epoch}")
-    trainer.run(args.epochs)
+
+    def make_trainer():
+        trainer = Trainer(paths, cfg, metric_set=metrics,
+                          data_parallel=args.data_parallel)
+        if args.init_from_torch:
+            from nelegan_tpu.train.checkpoint import (
+                load_reference_checkpoint)
+            trainer.state = load_reference_checkpoint(args.init_from_torch,
+                                                      trainer.state)
+            print(f"initialised from {args.init_from_torch}")
+        if args.resume:
+            trainer.resume()
+            print(f"resumed at epoch {trainer.start_epoch}")
+        return trainer
+
+    if args.max_retries > 0:
+        from nelegan_tpu.train.resilience import run_with_recovery
+        run_with_recovery(make_trainer, args.epochs,
+                          max_retries=args.max_retries)
+    else:
+        make_trainer().run(args.epochs)
 
 
 if __name__ == "__main__":
