@@ -216,6 +216,30 @@ def streaming_step(gen_params, state: StreamState, clean_frames: jnp.ndarray,
     return new, out
 
 
+@functools.partial(jax.jit, static_argnames=("gen", "p_power", "imcra_cfg"))
+def streaming_step_batch(gen_params, states: StreamState,
+                         clean_frames: jnp.ndarray,
+                         noise_frames: jnp.ndarray,
+                         gen: Generator = Generator(),
+                         p_power: float = 1.0 / 6.0,
+                         imcra_cfg: ImcraConfig = ImcraConfig()):
+    """Serve B concurrent streams in one device program.
+
+    `states` is a StreamState whose every leaf carries a leading batch
+    axis (stack B single-stream states with
+    ``jax.tree.map(lambda *xs: jnp.stack(xs), *states)``);
+    clean_frames / noise_frames are [B, F, 512].  Returns
+    (batched new states, out [B, F, hop]).  Each stream advances exactly
+    as it would alone (vmap over the single-stream step), so a serving
+    frontend can multiplex independent callers onto one chip.
+    """
+    def step(st, fc, fn):
+        return streaming_step(gen_params, st, fc, fn, gen, p_power,
+                              imcra_cfg)
+
+    return jax.vmap(step)(states, clean_frames, noise_frames)
+
+
 class StreamingEnhancer:
     """Host-side chunked driver around `streaming_step`.
 

@@ -126,3 +126,30 @@ def test_streaming_step_is_jittable_pytree(gen_and_params):
     new, out = streaming_step(params, st, fc, fc, g)
     assert out.shape == (4, 256)
     assert int(new.frame_idx) == 4
+
+
+def test_batched_streams_match_independent(toy, gen_and_params):
+    """streaming_step_batch advances B streams exactly like B independent
+    single-stream runs (the multi-caller serving path)."""
+    import jax.numpy as jnp
+    from nelegan_tpu.streaming import streaming_step_batch
+    clean, noise = toy
+    g, params = gen_and_params
+    b, f = 3, 4
+    fc = np.stack([np.stack([clean[i*256+j*256:i*256+j*256+512]
+                             for j in range(f)]) for i in range(b)])
+    fn = np.stack([np.stack([noise[i*256+j*256:i*256+j*256+512]
+                             for j in range(f)]) for i in range(b)])
+    fc = jnp.asarray(fc.astype(np.float64))
+    fn = jnp.asarray(fn.astype(np.float64))
+
+    singles = [init_stream_state(g, jnp.float64) for _ in range(b)]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *singles)
+    new_states, out = streaming_step_batch(params, stacked, fc, fn, g)
+    assert out.shape == (b, f, 256)
+    for i in range(b):
+        st_i, out_i = streaming_step(params, singles[i], fc[i], fn[i], g)
+        np.testing.assert_allclose(np.asarray(out[i]), np.asarray(out_i),
+                                   atol=1e-12)
+        np.testing.assert_allclose(np.asarray(new_states.beta_num[i]),
+                                   np.asarray(st_i.beta_num), rtol=1e-12)
