@@ -152,7 +152,15 @@ def score_corpus(clean_list, noise_list, enhanced_list, fs: int = 16000,
 
     for blen, idxs in chunked:
         bsz = len(idxs)
-        alloc = bsz + (-bsz) % dp  # data-axis divisibility padding
+        # quantise the batch width to a power of two (and the data-axis
+        # size): XLA compiles one program per (bucket_len, width) pair, so
+        # ragged widths — which vary with every random corpus sample —
+        # would otherwise recompile every epoch
+        alloc = 1
+        while alloc < bsz:
+            alloc *= 2
+        alloc = min(max(alloc, dp), width)
+        alloc += (-alloc) % dp
         ref = np.zeros((alloc, blen), np.float32)
         ne = np.zeros((alloc, blen), np.float32)   # enhanced + noise
         enh = np.zeros((alloc, blen), np.float32)

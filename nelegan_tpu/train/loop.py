@@ -162,18 +162,25 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def _enhance_batches(self, index: CorpusIndex, paths: Sequence[str]):
-        """Yield (names, wavs [B, n], out_lens) over bucketed batches."""
+        """Yield (names, wavs [B, n], out_lens) over bucketed batches.
+
+        Ragged tail batches are padded to the fixed batch size (repeating
+        the last utterance) so every epoch reuses the same compiled
+        (batch, bucket) programs; the padded rows are dropped on yield."""
         loader = BucketedLoader(index, batch_size=self.cfg.train.batch_size,
                                 shuffle=False)
         for group_paths in loader._batches(paths):
             batch = loader.load_group(group_paths)
-            feats = pipeline.featurize_batch(batch.clean, batch.noise,
-                                             batch.lengths,
+            b = len(batch.names)
+            clean, noise, lengths = self._pad_batch_rows(
+                (batch.clean, batch.noise, batch.lengths),
+                self.cfg.train.batch_size)
+            feats = pipeline.featurize_batch(clean, noise, lengths,
                                              self.cfg.train.p_power)
             wavs, _, out_lens = pipeline.enhance_batch(
                 self.state.gen_params, feats, self.cfg.train.p_power,
                 self.cfg.train.target_rms)
-            yield batch.names, np.asarray(wavs), np.asarray(out_lens)
+            yield batch.names, np.asarray(wavs)[:b], np.asarray(out_lens)[:b]
 
     def _write_enhanced(self, index: CorpusIndex, paths: Sequence[str],
                         out_dir: str, epoch: int,
@@ -228,10 +235,29 @@ class Trainer:
                 np.stack([e[1] for e in entries]),
                 np.stack([e[2] for e in entries]))
 
+    @staticmethod
+    def _pad_batch_rows(arrays, batch_size: int):
+        """Pad ragged leading axes up to `batch_size` by repeating the last
+        row.  Every epoch samples a different corpus subset, so ragged tail
+        batches take a fresh (batch, bucket_len) shape each time — without
+        padding, XLA recompiles the step for every new shape, every epoch
+        (a measured ~200 s/epoch of pure compilation).  Repetition slightly
+        reweights means over the batch, the same trade _maybe_shard makes."""
+        b = arrays[0].shape[0]
+        if b >= batch_size:
+            return arrays
+        return tuple(
+            np.concatenate([np.asarray(a),
+                            np.repeat(np.asarray(a)[-1:],
+                                      batch_size - b, axis=0)], axis=0)
+            for a in arrays)
+
     def train_generator_epoch(self, sampled: Sequence[str]) -> float:
         losses = []  # device scalars; fetched once (remote sync is ~32 ms)
         for batch in self.loader(sampled):
-            args = self._maybe_shard(*self._cached_bands(batch))
+            args = self._pad_batch_rows(self._cached_bands(batch),
+                                        self.cfg.train.batch_size)
+            args = self._maybe_shard(*args)
             self.state, loss = gan.g_step_bands(self.state, *args, self.cfg)
             losses.append(loss)
         return float(np.mean([np.asarray(l) for l in losses])) \
