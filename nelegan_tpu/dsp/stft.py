@@ -96,8 +96,11 @@ def istft(spec: jnp.ndarray, n_fft: int = 512, hop: int = 256,
       real signal ``[..., out_len]`` where ``out_len = (T-1)*hop`` for the
       centered case (librosa default), or ``length`` if given.
     """
-    window = jnp.asarray(hann_periodic(win_length if win_length == n_fft else n_fft))
     frames = jnp.fft.irfft(jnp.swapaxes(spec, -1, -2), n=n_fft, axis=-1)
+    # match the window dtype to the frames: a float64 numpy window would
+    # silently promote f32 audio to f64 under x64
+    window = jnp.asarray(hann_periodic(win_length if win_length == n_fft
+                                       else n_fft), dtype=frames.dtype)
     frames = frames * window                               # [..., T, n_fft]
     t = frames.shape[-2]
     full = n_fft + hop * (t - 1)

@@ -142,8 +142,10 @@ def istft_batch_tail_truncated(spec: jnp.ndarray,
     Output sample i corresponds to original sample i; samples at or beyond
     256*(frames-1) are zeroed (the reference iSTFT truncates there).
     """
-    window = jnp.asarray(hann_periodic(N_FFT))
-    fr = jnp.fft.irfft(jnp.swapaxes(spec, -1, -2), n=N_FFT, axis=-1) * window
+    fr = jnp.fft.irfft(jnp.swapaxes(spec, -1, -2), n=N_FFT, axis=-1)
+    # window dtype must follow the frames (a float64 numpy window would
+    # silently promote f32 audio under x64)
+    fr = fr * jnp.asarray(hann_periodic(N_FFT), fr.dtype)
     t = fr.shape[-2]
     fr = fr * frame_mask(frames, t)[..., None]
 
@@ -154,7 +156,7 @@ def istft_batch_tail_truncated(spec: jnp.ndarray,
     ola = (a + b_shift).reshape(fr.shape[0], t * HOP)
 
     w2 = np.asarray(hann_periodic(N_FFT)) ** 2
-    wsq = jnp.asarray(w2[:HOP] + w2[HOP:])  # 256-periodic normaliser
+    wsq = jnp.asarray(w2[:HOP] + w2[HOP:], ola.dtype)  # 256-periodic norm
     y = ola / jnp.tile(wsq, t)
     # drop the leading half-window (reflect padding) and zero the tail
     y = y[:, HOP:]
