@@ -110,6 +110,8 @@ class Trainer:
         # cache them across epochs (the reference re-featurized in every
         # DataLoader __getitem__, dataloader.py:30-42, IMCRA included)
         self._band_cache: Dict[tuple, tuple] = {}
+        # SIIB KLT bases per clean reference (on-device), reused every epoch
+        self._siib_klt_cache: Dict[str, object] = {}
 
         # data-parallel training: shard the utterance batch over all
         # devices (ragged batches are padded by repetition in _maybe_shard)
@@ -205,15 +207,19 @@ class Trainer:
                      norm: bool, metrics: Sequence[str]
                      ) -> List[Dict[str, float]]:
         from nelegan_tpu.metrics import score_corpus
-        cleans, noises, enhs = [], [], []
+        cleans, noises, enhs, keys = [], [], [], []
         for p in enhanced_paths:
             base = os.path.basename(p)
             name = base.split("@")[0] + ".wav" if "@" in base else base
-            cleans.append(read_wav(index.clean_path_for(name))[0])
+            cpath = index.clean_path_for(name)
+            keys.append(cpath)
+            cleans.append(read_wav(cpath)[0])
             noises.append(read_wav(os.path.join(index.noise_dir, name))[0])
             enhs.append(read_wav(p)[0])
         return score_corpus(cleans, noises, enhs, self.cfg.train.fs,
-                            norm=norm, metrics=metrics, mesh=self.mesh)
+                            norm=norm, metrics=metrics, mesh=self.mesh,
+                            siib_klt_cache=self._siib_klt_cache,
+                            clean_keys=keys)
 
     # ------------------------------------------------------------------
     def _cached_bands(self, batch) -> tuple:

@@ -50,3 +50,31 @@ def test_bucketed_siib_close(triples):
     for ex, bu in zip(exact, bucketed):
         assert abs(ex["siib"] - bu["siib"]) < 0.05 * max(ex["siib"], 10.0), (
             ex["siib"], bu["siib"])
+
+
+def test_siib_klt_cache_matches(triples):
+    """The cross-epoch KLT cache path (siib_gauss_16k_with_klt) must agree
+    with the direct eigh-per-score path, on both cold and warm epochs."""
+    cleans = [t[0] for t in triples]
+    noises = [t[1] for t in triples]
+    enhs = [t[2] for t in triples]
+    keys = [f"utt{i}" for i in range(len(triples))]
+
+    direct = score_corpus(cleans, noises, enhs, norm=False,
+                          metrics=("siib",))
+    cache: dict = {}
+    cold = score_corpus(cleans, noises, enhs, norm=False, metrics=("siib",),
+                        siib_klt_cache=cache, clean_keys=keys)
+    assert len(cache) >= 1  # one stacked KLT entry per scored chunk
+    # warm epoch: different enhanced signals, cached clean-side KLT
+    enhs2 = [e * 0.8 + 0.02 * n for e, n in zip(enhs, noises)]
+    warm = score_corpus(cleans, noises, enhs2, norm=False, metrics=("siib",),
+                        siib_klt_cache=cache, clean_keys=keys)
+    warm_direct = score_corpus(cleans, noises, enhs2, norm=False,
+                               metrics=("siib",))
+    for a, b in zip(direct, cold):
+        assert abs(a["siib"] - b["siib"]) < 1e-3 * max(a["siib"], 10.0)
+    for a, b in zip(warm_direct, warm):
+        # warm path reuses the f32 eigenbasis; eigh sensitivity bounds this
+        assert abs(a["siib"] - b["siib"]) < 0.02 * max(a["siib"], 10.0), (
+            a["siib"], b["siib"])
