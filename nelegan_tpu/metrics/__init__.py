@@ -101,7 +101,7 @@ def score_batch(clean_list, noise_list, enhanced_list, fs: int = 16000,
 def score_corpus(clean_list, noise_list, enhanced_list, fs: int = 16000,
                  norm: bool = True, metrics: Sequence[str] = ALL_METRICS,
                  bucket_quant: int = 16384, vmap_chunk: int = 8, mesh=None,
-                 siib_klt_cache=None, clean_keys: Sequence = None):
+                 clean_cache=None, clean_keys: Sequence = None):
     """Bucketed, vmapped corpus scoring — optionally sharded over a mesh.
 
     Utterances are zero-padded into a few quantised length buckets and each
@@ -118,21 +118,25 @@ def score_corpus(clean_list, noise_list, enhanced_list, fs: int = 16000,
     size — the TPU-native replacement for the reference's 32-process CPU
     pool (audio_util.py:146).  `vmap_chunk` then means per-device width.
 
-    `siib_klt_cache` (a mutable mapping) with `clean_keys` (one hashable key
-    per utterance, e.g. the clean file path) caches SIIB's KLT bases — a
-    function of the clean signals only (siib.siib_klt_16k) — across calls.
-    In training, the validation corpus repeats identically every epoch, and
-    the KLT eigh is ~80% of a SIIB score's device time, so warm epochs skip
-    it entirely.  Entries are per-chunk [width, 600, 600] float32 arrays
-    kept ON DEVICE (no host round trips through the tunnel; ~1.4 MB per
-    utterance, ~0.4 GB per 300-utterance corpus of v5e HBM).
+    `clean_cache` (a mutable mapping) with `clean_keys` (one hashable key
+    per utterance, e.g. the clean file path) caches the clean-side halves
+    of SIIB (the KLT basis, siib.siib_klt_16k — the eigh is ~80% of a
+    score's device time) and HASPI v2 (the clean ear model + envelope,
+    haspi.haspi_v2_clean_24k — the ear model is ~90%, half of it clean-
+    side) across calls.  In training, the validation corpus repeats
+    identically every epoch, so warm epochs skip all of it.  Entries are
+    per-chunk stacked arrays kept ON DEVICE (no host round trips through
+    the tunnel; ~2.4 MB per utterance, ~0.8 GB per 300-utterance corpus
+    of v5e HBM).
     """
     import jax
     import jax.numpy as jnp
     from nelegan_tpu.dsp.resample import resample_poly
     from nelegan_tpu.metrics.siib import (
         siib_gauss_16k, siib_gauss_16k_with_klt, siib_klt_16k, siib_prepare)
-    from nelegan_tpu.metrics.haspi import haspi_v2_24k, resample_to_24k
+    from nelegan_tpu.metrics.haspi import (
+        haspi_v2_24k, haspi_v2_clean_24k, haspi_v2_from_clean_24k,
+        resample_to_24k)
     from nelegan_tpu.metrics.estoi import estoi_10k
 
     assert fs == 16000
@@ -192,6 +196,17 @@ def score_corpus(clean_list, noise_list, enhanced_list, fs: int = 16000,
                                   for a in (ref_j, ne_j, enh_j))
             nv_j = jax.device_put(nv_j, row)
 
+        # one chunk-composition key shared by every clean-side cache entry:
+        # per-utterance entries would need a re-stack on reuse, and small
+        # per-utterance device gathers through the tunnel cost more than
+        # the compute they save (measured); the recurring case — a fixed
+        # validation corpus scored every epoch — always produces identical
+        # chunks, which hit these keys directly
+        key_tuple = (None if clean_keys is None or clean_cache is None else
+                     (blen,) + tuple(
+                         clean_keys[idxs[j] if j < bsz else idxs[0]]
+                         for j in range(alloc)))
+
         out: Dict[str, Any] = {}
         if "estoi" in metrics:
             x10 = resample_poly(ref_j, 5, 8)
@@ -202,9 +217,23 @@ def score_corpus(clean_list, noise_list, enhanced_list, fs: int = 16000,
             x24 = resample_to_24k(ref_j, fs)
             y24 = resample_to_24k(ne_j, fs)
             nv24 = -(-nv_j * 3 // 2)
-            out["haspi"] = jax.vmap(
-                lambda a, b, v: haspi_v2_24k(a, b, n_valid=v)[0])(
-                x24, y24, nv24)
+            if key_tuple is None:
+                out["haspi"] = jax.vmap(
+                    lambda a, b, v: haspi_v2_24k(a, b, n_valid=v)[0])(
+                    x24, y24, nv24)
+            else:
+                hk = ("haspi-clean",) + key_tuple
+                cc = clean_cache.get(hk)
+                if cc is None:
+                    cc = jax.vmap(
+                        lambda a, v: haspi_v2_clean_24k(a, n_valid=v))(
+                        x24, nv24)
+                    if mesh is not None:
+                        cc = jax.device_put(cc, NamedSharding(mesh, P("data")))
+                    clean_cache[hk] = cc
+                out["haspi"] = jax.vmap(
+                    lambda b, v, c: haspi_v2_from_clean_24k(
+                        b, c, n_valid=v)[0])(y24, nv24, cc)
         if "pesq" in metrics:
             out["pesq"] = jax.vmap(pesq_proxy_16k)(ref_j, enh_j, nv_j)
         if "visqol" in metrics:
@@ -227,26 +256,17 @@ def score_corpus(clean_list, noise_list, enhanced_list, fs: int = 16000,
             if mesh is not None:
                 xs_j, ys_j, sv_j = (jax.device_put(a, row)
                                     for a in (xs_j, ys_j, sv_j))
-            # cache key = the chunk's exact clean-utterance composition:
-            # per-utterance entries would need a re-stack on reuse, and 8
-            # small device gathers through the tunnel cost more than the
-            # eigh they save (measured); the recurring case — a fixed
-            # validation corpus scored every epoch — always produces
-            # identical chunks, which hit this key directly
-            ckey = (None if clean_keys is None else
-                    ("siib-klt", blen) + tuple(
-                        clean_keys[idxs[j] if j < bsz else idxs[0]]
-                        for j in range(alloc)))
-            if siib_klt_cache is None or ckey is None:
+            if key_tuple is None:
                 out["siib"] = jax.vmap(siib_gauss_16k)(xs_j, ys_j, sv_j)
             else:
-                u = siib_klt_cache.get(ckey)
+                sk = ("siib-klt",) + key_tuple
+                u = clean_cache.get(sk)
                 if u is None:
                     u = jax.vmap(siib_klt_16k)(xs_j, sv_j)
                     if mesh is not None:
                         u = jax.device_put(u, NamedSharding(
                             mesh, P("data", None, None)))
-                    siib_klt_cache[ckey] = u
+                    clean_cache[sk] = u
                 out["siib"] = jax.vmap(siib_gauss_16k_with_klt)(
                     xs_j, ys_j, sv_j, u)
 

@@ -21,23 +21,25 @@ import jax.numpy as jnp
 import numpy as np
 
 from nelegan_tpu.dsp.resample import resample_poly
-from nelegan_tpu.metrics.haspi.ear_model import ear_model, center_freq
+from nelegan_tpu.metrics.haspi.ear_model import (
+    ear_model, center_freq, _ear_core, loss_parameters, middle_ear,
+    group_delay_comp, NCHAN)
 from nelegan_tpu.metrics.haspi import chains
 
 
-def _rms_normalize(x, y, n_valid=None):
+def _rms_normalize_one(x, n_valid=None):
     if n_valid is None:
         n = x.shape[-1]
-        rx = jnp.sqrt(jnp.sum(x * x, -1) / n)
-        ry = jnp.sqrt(jnp.sum(y * y, -1) / n)
-        return x / rx[..., None], y / ry[..., None]
+        return x / jnp.sqrt(jnp.sum(x * x, -1) / n)[..., None]
     # masked rms over the valid prefix; also silence any pad-tail content
     mask = (jnp.arange(x.shape[-1]) < n_valid).astype(x.dtype)
     nv = n_valid.astype(x.dtype) if hasattr(n_valid, "astype") else float(
         n_valid)
-    rx = jnp.sqrt(jnp.sum(x * x * mask, -1) / nv)
-    ry = jnp.sqrt(jnp.sum(y * y * mask, -1) / nv)
-    return x * mask / rx[..., None], y * mask / ry[..., None]
+    return x * mask / jnp.sqrt(jnp.sum(x * x * mask, -1) / nv)[..., None]
+
+
+def _rms_normalize(x, y, n_valid=None):
+    return _rms_normalize_one(x, n_valid), _rms_normalize_one(y, n_valid)
 
 
 def resample_to_24k(x: jnp.ndarray, fs: int) -> jnp.ndarray:
@@ -79,6 +81,73 @@ def haspi_v2_24k(x24: jnp.ndarray, y24: jnp.ndarray, level1: float = 65.0,
                                         noise_scale=noise_scale)
     avecm = chains.mod_filt_corr(xcep, ycep, count, 2560.0)
     weights = jnp.asarray(HASPI_V2_WEIGHTS, x24.dtype)
+    return jnp.sum(weights * avecm), avecm
+
+
+def _single_side_ear(sig24: jnp.ndarray, level1: float, n_valid):
+    """One normal-hearing side of the ear model (itype=0 scoring path).
+    Returns (db [nchan, n] pre-group-delay, bw_sig [nchan])."""
+    dt = sig24.dtype
+    cfreq = center_freq(NCHAN)
+    hl0 = jnp.zeros(6, dt)
+    attn_ohc, bw_min, lowknee, cr, attn_ihc = loss_parameters(hl0, cfreq)
+    _, bw1, _, _, _ = loss_parameters(jnp.full(6, 100.0, dt), cfreq)
+    mids = middle_ear(sig24)[None]                        # [1, n]
+    side_params = tuple(a[:, None] for a in
+                        (bw_min, attn_ohc, lowknee, cr, attn_ihc))
+    db, _, _, _, bw_sig = _ear_core(mids, bw1, side_params, cfreq, level1,
+                                    n_valid)
+    return db[:, 0], bw_sig[:, 0]
+
+
+def _tail_mask(db: jnp.ndarray, n_valid):
+    if n_valid is None:
+        return db
+    return db * (jnp.arange(db.shape[-1]) < n_valid).astype(db.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("level1",))
+def haspi_v2_clean_24k(x24: jnp.ndarray, level1: float = 65.0,
+                       n_valid: jnp.ndarray | None = None):
+    """Clean-side half of HASPI v2 — a function of the reference signal
+    ONLY, so it can be computed once per clean utterance and reused across
+    training epochs (score_corpus's clean_cache): the ear model is ~90% of a
+    HASPI score, and in a (fixed clean, changing enhanced) scoring loop this
+    halves that cost.
+
+    Returns a cache pytree: {"xlp": [nsub, nchan] 2560 Hz envelope,
+    "bwx": [nchan] signal bandwidths (the reference compensates BOTH ears'
+    group delay with BWx, pyhaspi2.py:1238-1243, so the degraded side needs
+    it)}.
+    """
+    x24 = _rms_normalize_one(x24, n_valid)
+    xdb, bwx = _single_side_ear(x24, level1, n_valid)
+    cfreq = center_freq(NCHAN)
+    xdb = _tail_mask(group_delay_comp(xdb, bwx, cfreq), n_valid)
+    return {"xlp": chains.env_filt_one(xdb, 320.0, 2560.0), "bwx": bwx}
+
+
+@functools.partial(jax.jit, static_argnames=("level1", "noise_scale"))
+def haspi_v2_from_clean_24k(y24: jnp.ndarray, clean, level1: float = 65.0,
+                            key: jax.Array | None = None,
+                            noise_scale: float = 0.0,
+                            n_valid: jnp.ndarray | None = None):
+    """HASPI v2 of a degraded signal against a precomputed clean-side cache
+    (haspi_v2_clean_24k).  Numerically matches haspi_v2_24k — the pair path
+    has no cross-side coupling other than BWx, which the cache carries.
+    Returns (score, aveCM[10])."""
+    y24 = _rms_normalize_one(y24, n_valid)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    _, k_cep = jax.random.split(key)
+    ydb, _ = _single_side_ear(y24, level1, n_valid)
+    cfreq = center_freq(NCHAN)
+    ydb = _tail_mask(group_delay_comp(ydb, clean["bwx"], cfreq), n_valid)
+    ylp = chains.env_filt_one(ydb, 320.0, 2560.0)
+    xcep, ycep, count = chains.cep_coef(clean["xlp"], ylp, 2.5, 0.1, 6,
+                                        key=k_cep, noise_scale=noise_scale)
+    avecm = chains.mod_filt_corr(xcep, ycep, count, 2560.0)
+    weights = jnp.asarray(HASPI_V2_WEIGHTS, y24.dtype)
     return jnp.sum(weights * avecm), avecm
 
 

@@ -334,29 +334,31 @@ def spect_diff(xsl: jnp.ndarray, ysl: jnp.ndarray):
 # HASPI v2 modulation chain
 # ---------------------------------------------------------------------------
 
-def env_filt(xdb: jnp.ndarray, ydb: jnp.ndarray, fcut: float = 320.0,
-             fsub: float = 2560.0, fsamp: int = FSAMP):
-    """320 Hz envelope LP filter + subsample (reference ebm_EnvFilt,
-    pyhaspi2.py:378-414).  xdb, ydb: [nchan, n] -> [nsub, nchan]."""
-    xdb = xdb.T
-    ydb = ydb.T
-    nsamp = xdb.shape[0]
+def env_filt_one(db: jnp.ndarray, fcut: float = 320.0, fsub: float = 2560.0,
+                 fsamp: int = FSAMP) -> jnp.ndarray:
+    """One signal's half of ebm_EnvFilt: [nchan, n] -> [nsub, nchan].
+    Filtering is per-signal, so the clean side can be cached across epochs
+    (haspi.haspi_v2_clean_24k)."""
+    db = db.T
     tfilt = 0.7 * 1000.0 / fcut
     nfilt = round(0.001 * tfilt * fsamp)
     nhalf = nfilt // 2
     nfilt = 2 * nhalf
     benv = np.hanning(nfilt)
     benv = benv / benv.sum()
-
-    def lp(v):  # [n, nchan] -> same, centered FIR
-        # reference: np.convolve(x, benv)[nhalf : nhalf+nsamp]; benv is a
-        # palindrome, so this equals correlation with pad_lo = nfilt-1-nhalf
-        return _corr_time(v, np.asarray(benv), nfilt - 1 - nhalf, nhalf)
-
-    xenv = lp(xdb)
-    yenv = lp(ydb)
+    # reference: np.convolve(x, benv)[nhalf : nhalf+nsamp]; benv is a
+    # palindrome, so this equals correlation with pad_lo = nfilt-1-nhalf
+    env = _corr_time(db, np.asarray(benv), nfilt - 1 - nhalf, nhalf)
     space = int(fsamp // fsub)
-    return xenv[::space], yenv[::space]
+    return env[::space]
+
+
+def env_filt(xdb: jnp.ndarray, ydb: jnp.ndarray, fcut: float = 320.0,
+             fsub: float = 2560.0, fsamp: int = FSAMP):
+    """320 Hz envelope LP filter + subsample (reference ebm_EnvFilt,
+    pyhaspi2.py:378-414).  xdb, ydb: [nchan, n] -> [nsub, nchan]."""
+    return (env_filt_one(xdb, fcut, fsub, fsamp),
+            env_filt_one(ydb, fcut, fsub, fsamp))
 
 
 def cep_coef(xdb: jnp.ndarray, ydb: jnp.ndarray, thr_cep: float = 2.5,

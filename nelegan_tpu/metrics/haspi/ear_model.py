@@ -295,14 +295,62 @@ def ear_model(x24: jnp.ndarray, y24: jnp.ndarray,
     # control path: HL=100 bandwidths; cfreq1 == cfreq (reference quirk)
     _, bw1, _, _, _ = loss_parameters(jnp.full(6, 100.0, x24.dtype), cfreq)
 
-    xmid = middle_ear(x24)
-    ymid = middle_ear(y24)
-    cfreq_j = jnp.asarray(cfreq, x24.dtype)
+    mids = jnp.stack([middle_ear(x24), middle_ear(y24)])
+    side_params = tuple(
+        jnp.stack([a, b], -1) for a, b in (
+            (bw_min_x, bw_min_y), (attn_ohc_x, attn_ohc_y),
+            (lowknee_x, lowknee_y), (cr_x, cr_y),
+            (attn_ihc_x, attn_ihc_y)))
+    db, bm, ave, cave, bw_sig = _ear_core(mids, bw1, side_params, cfreq,
+                                          level1, n_valid)
+    xdb, ydb = db[:, 0], db[:, 1]
+    xbm, ybm = bm[:, 0], bm[:, 1]
+    xave, yave = ave[:, 0], ave[:, 1]
+    xcave, ycave = cave[:, 0], cave[:, 1]
+    bwx = bw_sig[:, 0]
 
+    if noise_scale != 0.0:
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        ihc_thr = -10.0
+        gn = noise_scale * 10.0 ** ((ihc_thr - level1) / 20.0)
+        k1, k2 = jax.random.split(key)
+        xbm = xbm + gn * jax.random.normal(k1, xbm.shape, xbm.dtype)
+        ybm = ybm + gn * jax.random.normal(k2, ybm.shape, ybm.dtype)
+
+    # reference uses BWx for all four group-delay compensations
+    xdb = group_delay_comp(xdb, bwx, cfreq)
+    ydb = group_delay_comp(ydb, bwx, cfreq)
+    xbm = group_delay_comp(xbm, bwx, cfreq)
+    ybm = group_delay_comp(ybm, bwx, cfreq)
+
+    if n_valid is not None:
+        # silence the pad tail (filter ring-out) so the downstream
+        # above-threshold gates exclude it like trimmed-signal segments
+        tail = (jnp.arange(xdb.shape[-1]) < n_valid).astype(xdb.dtype)
+        xdb, ydb = xdb * tail, ydb * tail
+        xbm, ybm = xbm * tail, ybm * tail
+
+    xsl = ave_sl(xave, xcave, attn_ohc_x, lowknee_x, cr_x, attn_ihc_x, level1)
+    ysl = ave_sl(yave, ycave, attn_ohc_y, lowknee_y, cr_y, attn_ihc_y, level1)
+    return EarOutputs(xdb, xbm, ydb, ybm, xsl, ysl)
+
+
+def _ear_core(mids: jnp.ndarray, bw1, side_params, cfreq, level1: float,
+              n_valid):
+    """Per-channel, per-side auditory periphery shared by ear_model and the
+    split clean/degraded HASPI paths.
+
+    mids: [S, n] middle-ear outputs; side_params: 5-tuple of [nchan, S]
+    loss parameters (bw_min, attn_ohc, lowknee, cr, attn_ihc).  Returns
+    (db [nchan, S, n], bm [nchan, S, n], ave [nchan, S], cave [nchan, S],
+    bw_sig [nchan, S]) — *before* BM noise, group-delay compensation and
+    tail masking, which depend on cross-side state (BWx)."""
     from nelegan_tpu.ops.iir import (_fft_len_ir, gammatone_ir, one_pole_ir,
                                      exp_sum_ir)
-    n = x24.shape[-1]
-    dt = x24.dtype
+    n = mids.shape[-1]
+    dt = mids.dtype
+    cfreq_j = jnp.asarray(cfreq, dt)
 
     # Impulse responses decay exponentially, so they are truncated at the
     # f32 noise floor and the FFT sized for the *truncated* linear
@@ -332,8 +380,7 @@ def ear_model(x24: jnp.ndarray, y24: jnp.ndarray,
 
     small = 1e-30
 
-    def channel(cf, bw1_n, bw_min_xn, bw_min_yn, aohc_x, aohc_y, lk_x, lk_y,
-                cr_xn, cr_yn, aihc_x, aihc_y):
+    def channel(cf, bw1_n, bw_min_sn, aohc_sn, lk_sn, cr_sn, aihc_sn):
         cosc, sinc = _carrier(n, cf, dt)
 
         def ear_side(mid, bw_min_n, aohc, lk, cr_n, aihc):
@@ -381,43 +428,11 @@ def ear_model(x24: jnp.ndarray, y24: jnp.ndarray,
             bm_out = bmc * (out + small) / (ydb_ + small)
             return out, bm_out, ave, cave, bw_sig
 
-        # both ears run as one vmapped pass (halves the op count: every
-        # FFT/elementwise op becomes a single [2, ...]-batched op)
-        mids = jnp.stack([xmid, ymid])
-        outs = jax.vmap(ear_side)(
-            mids, jnp.stack([bw_min_xn, bw_min_yn]),
-            jnp.stack([aohc_x, aohc_y]), jnp.stack([lk_x, lk_y]),
-            jnp.stack([cr_xn, cr_yn]), jnp.stack([aihc_x, aihc_y]))
-        (xdb, ydb), (xb, yb), (xave, yave), (xcave, ycave), (bwx, _) = outs
-        return xdb, xb, ydb, yb, xave, yave, xcave, ycave, bwx
+        # all sides run as one vmapped pass (for the binaural pair this
+        # halves the op count: every FFT/elementwise op is [S, ...]-batched)
+        return jax.vmap(ear_side)(mids, bw_min_sn, aohc_sn, lk_sn, cr_sn,
+                                  aihc_sn)
 
-    outs = jax.vmap(channel)(
-        cfreq_j, bw1, bw_min_x, bw_min_y, attn_ohc_x, attn_ohc_y,
-        lowknee_x, lowknee_y, cr_x, cr_y, attn_ihc_x, attn_ihc_y)
-    xdb, xbm, ydb, ybm, xave, yave, xcave, ycave, bwx = outs
-
-    if noise_scale != 0.0:
-        if key is None:
-            key = jax.random.PRNGKey(0)
-        ihc_thr = -10.0
-        gn = noise_scale * 10.0 ** ((ihc_thr - level1) / 20.0)
-        k1, k2 = jax.random.split(key)
-        xbm = xbm + gn * jax.random.normal(k1, xbm.shape, xbm.dtype)
-        ybm = ybm + gn * jax.random.normal(k2, ybm.shape, ybm.dtype)
-
-    # reference uses BWx for all four group-delay compensations
-    xdb = group_delay_comp(xdb, bwx, cfreq)
-    ydb = group_delay_comp(ydb, bwx, cfreq)
-    xbm = group_delay_comp(xbm, bwx, cfreq)
-    ybm = group_delay_comp(ybm, bwx, cfreq)
-
-    if n_valid is not None:
-        # silence the pad tail (filter ring-out) so the downstream
-        # above-threshold gates exclude it like trimmed-signal segments
-        tail = (jnp.arange(xdb.shape[-1]) < n_valid).astype(xdb.dtype)
-        xdb, ydb = xdb * tail, ydb * tail
-        xbm, ybm = xbm * tail, ybm * tail
-
-    xsl = ave_sl(xave, xcave, attn_ohc_x, lowknee_x, cr_x, attn_ihc_x, level1)
-    ysl = ave_sl(yave, ycave, attn_ohc_y, lowknee_y, cr_y, attn_ihc_y, level1)
-    return EarOutputs(xdb, xbm, ydb, ybm, xsl, ysl)
+    bw_min_s, aohc_s, lk_s, cr_s, aihc_s = side_params
+    return jax.vmap(channel)(cfreq_j, bw1, bw_min_s, aohc_s, lk_s, cr_s,
+                             aihc_s)

@@ -110,8 +110,10 @@ class Trainer:
         # cache them across epochs (the reference re-featurized in every
         # DataLoader __getitem__, dataloader.py:30-42, IMCRA included)
         self._band_cache: Dict[tuple, tuple] = {}
-        # SIIB KLT bases per clean reference (on-device), reused every epoch
-        self._siib_klt_cache: Dict[str, object] = {}
+        # clean-side metric halves (SIIB KLT, HASPI clean ear) per chunk, on-device
+        self._clean_side_cache: Dict[str, object] = {}
+        # scores of the immutable pre-enhanced (SSDRC) corpus, once per file
+        self._drc_score_cache: Dict[str, Dict[str, float]] = {}
 
         # data-parallel training: shard the utterance batch over all
         # devices (ragged batches are padded by repetition in _maybe_shard)
@@ -218,7 +220,7 @@ class Trainer:
             enhs.append(read_wav(p)[0])
         return score_corpus(cleans, noises, enhs, self.cfg.train.fs,
                             norm=norm, metrics=metrics, mesh=self.mesh,
-                            siib_klt_cache=self._siib_klt_cache,
+                            clean_cache=self._clean_side_cache,
                             clean_keys=keys)
 
     # ------------------------------------------------------------------
@@ -401,9 +403,20 @@ class Trainer:
             with self.timer.phase("score_drc"):
                 extra_paths = [self.train_index.extra_path(p)
                                for p in sampled]
-                extra_scores = self._score_files(self.train_index,
-                                                 extra_paths, norm=True,
-                                                 metrics=self.metric_set)
+                # the pre-enhanced corpus is immutable and the metrics are
+                # deterministic (noise_scale=0), so each file's scores are
+                # computed once per run and replayed from cache thereafter
+                # (the reference rescores the SSDRC corpus every epoch,
+                # train_nele.py:318-340 — identical values, wasted work)
+                missing = [p for p in extra_paths
+                           if p not in self._drc_score_cache]
+                if missing:
+                    for p, s in zip(missing, self._score_files(
+                            self.train_index, missing, norm=True,
+                            metrics=self.metric_set)):
+                        self._drc_score_cache[p] = s
+                extra_scores = [self._drc_score_cache[p]
+                                for p in extra_paths]
             current += [ReplayEntry(p, os.path.basename(p),
                                     [s.get(m, 0.5) for m in order])
                         for p, s in zip(extra_paths, extra_scores)]

@@ -64,12 +64,12 @@ def test_siib_klt_cache_matches(triples):
                           metrics=("siib",))
     cache: dict = {}
     cold = score_corpus(cleans, noises, enhs, norm=False, metrics=("siib",),
-                        siib_klt_cache=cache, clean_keys=keys)
+                        clean_cache=cache, clean_keys=keys)
     assert len(cache) >= 1  # one stacked KLT entry per scored chunk
     # warm epoch: different enhanced signals, cached clean-side KLT
     enhs2 = [e * 0.8 + 0.02 * n for e, n in zip(enhs, noises)]
     warm = score_corpus(cleans, noises, enhs2, norm=False, metrics=("siib",),
-                        siib_klt_cache=cache, clean_keys=keys)
+                        clean_cache=cache, clean_keys=keys)
     warm_direct = score_corpus(cleans, noises, enhs2, norm=False,
                                metrics=("siib",))
     for a, b in zip(direct, cold):
@@ -78,3 +78,27 @@ def test_siib_klt_cache_matches(triples):
         # warm path reuses the f32 eigenbasis; eigh sensitivity bounds this
         assert abs(a["siib"] - b["siib"]) < 0.02 * max(a["siib"], 10.0), (
             a["siib"], b["siib"])
+
+
+def test_haspi_clean_cache_matches(triples):
+    """The split clean/degraded HASPI path must agree with the pair path,
+    cold and warm (the single-side ear model is bit-identical math)."""
+    cleans = [t[0] for t in triples]
+    noises = [t[1] for t in triples]
+    enhs = [t[2] for t in triples]
+    keys = [f"utt{i}" for i in range(len(triples))]
+
+    direct = score_corpus(cleans, noises, enhs, norm=False,
+                          metrics=("haspi",))
+    cache: dict = {}
+    cold = score_corpus(cleans, noises, enhs, norm=False, metrics=("haspi",),
+                        clean_cache=cache, clean_keys=keys)
+    enhs2 = [e * 0.8 + 0.02 * n for e, n in zip(enhs, noises)]
+    warm = score_corpus(cleans, noises, enhs2, norm=False,
+                        metrics=("haspi",), clean_cache=cache,
+                        clean_keys=keys)
+    warm_direct = score_corpus(cleans, noises, enhs2, norm=False,
+                               metrics=("haspi",))
+    for a, b in zip(direct + warm_direct, cold + warm):
+        assert abs(a["haspi"] - b["haspi"]) < 2e-3 * max(abs(a["haspi"]),
+                                                         1.0), (a, b)
