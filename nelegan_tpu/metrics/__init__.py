@@ -202,9 +202,15 @@ def score_corpus(clean_list, noise_list, enhanced_list, fs: int = 16000,
         # the compute they save (measured); the recurring case — a fixed
         # validation corpus scored every epoch — always produces identical
         # chunks, which hit these keys directly
+        # each entry pairs the clean key with the row's effective valid
+        # length: the cached clean-side arrays are functions of
+        # nv = min(len(clean), len(noise), len(enhanced)) (masks, tail
+        # silencing, SIIB tiling), so a same-clean chunk with different
+        # trim lengths must not hit a stale entry
         key_tuple = (None if clean_keys is None or clean_cache is None else
                      (blen,) + tuple(
-                         clean_keys[idxs[j] if j < bsz else idxs[0]]
+                         (clean_keys[idxs[j] if j < bsz else idxs[0]],
+                          int(nv[j]))
                          for j in range(alloc)))
 
         out: Dict[str, Any] = {}

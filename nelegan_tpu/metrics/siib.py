@@ -69,17 +69,17 @@ def _gammatone_matrix() -> np.ndarray:
 from nelegan_tpu.metrics._framing import frame_exclusive as _frame
 
 
-def _stack_pair(x: jnp.ndarray, y: jnp.ndarray,
+def _stack_pair(x: jnp.ndarray, y: jnp.ndarray | None,
                 n_valid: jnp.ndarray | None):
     """Shared SIIB frontend: framing, clean-driven silence removal,
     gammatone log-energies, mean removal, K-frame stacking.
 
     Returns (vx, vy, scnt): zero-mean stacked vectors [S, K*J] for both
-    signals plus the live-vector count."""
+    signals plus the live-vector count.  With y=None only the clean side
+    is computed (vy is None) — the KLT-precompute path."""
     dt = x.dtype
     w = jnp.asarray(np.hanning(WIN + 2)[1:-1], dt)
     xf = _frame(x, WIN, HOP) * w
-    yf = _frame(y, WIN, HOP) * w
     nf = xf.shape[0]
 
     # silence removal on clean-signal energy, compacted to the front
@@ -92,29 +92,32 @@ def _stack_pair(x: jnp.ndarray, y: jnp.ndarray,
     order = jnp.argsort(~keep, stable=True)
     live = (jnp.arange(nf) < kcount)
     xk = xf[order] * live[:, None]
-    yk = yf[order] * live[:, None]
+    if y is None:
+        xy = xk[None]                                       # [1, F, WIN]
+    else:
+        yf = _frame(y, WIN, HOP) * w
+        yk = yf[order] * live[:, None]
+        # both signals as one [2, ...]-batched stack (halves op count)
+        xy = jnp.stack([xk, yk])                            # [2, F, WIN]
 
     g = jnp.asarray(_gammatone_matrix(), dt)
-    # both signals processed as one [2, ...]-batched stack (halves op count)
-    xy = jnp.stack([xk, yk])                                # [2, F, WIN]
-    p2 = jnp.abs(jnp.fft.rfft(xy, NFFT, axis=-1)) ** 2      # [2, F, 257]
-    e2 = jnp.log(p2 @ g.T + _EPS)                           # [2, F, J]
+    p2 = jnp.abs(jnp.fft.rfft(xy, NFFT, axis=-1)) ** 2      # [S, F, 257]
+    e2 = jnp.log(p2 @ g.T + _EPS)                           # [S, F, J]
 
     livef = live.astype(dt)[None, :, None]
     cnt = jnp.maximum(kcount, 1).astype(dt)
     e2 = (e2 - jnp.sum(e2 * livef, 1, keepdims=True) / cnt) * livef
 
-    # stack K consecutive frames (shift 1) -> [2, S, K*J]
+    # stack K consecutive frames (shift 1) -> [S, S', K*J]
     s = nf - K_STACK + 1
     idx = np.arange(s)[:, None] + np.arange(K_STACK)[None, :]
-    v2 = e2[:, idx].reshape(2, s, K_STACK * J_BANDS)
-    vx, vy = v2[0], v2[1]
+    v2 = e2[:, idx].reshape(-1, s, K_STACK * J_BANDS)
     vlive = ((jnp.arange(s) + K_STACK) <= kcount).astype(dt)
     scnt = jnp.maximum(jnp.sum(vlive), 1.0)
 
-    vx = (vx - jnp.sum(vx * vlive[:, None], 0) / scnt) * vlive[:, None]
-    vy = (vy - jnp.sum(vy * vlive[:, None], 0) / scnt) * vlive[:, None]
-    return vx, vy, scnt
+    v2 = (v2 - jnp.sum(v2 * vlive[None, :, None], 1, keepdims=True)
+          / scnt) * vlive[None, :, None]
+    return v2[0], (v2[1] if y is not None else None), scnt
 
 
 def _capacity(vx: jnp.ndarray, vy: jnp.ndarray, u: jnp.ndarray
@@ -140,7 +143,7 @@ def siib_klt_16k(x: jnp.ndarray,
     run it is constant per reference utterance and can be cached
     (score_corpus's siib_klt_cache).  The eigh here is ~80% of a SIIB score
     on a v5e, so the cache buys ~6x on every epoch after the first."""
-    vx, _, scnt = _stack_pair(x, x, n_valid)
+    vx, _, scnt = _stack_pair(x, None, n_valid)
     cov = (vx.T @ vx) / scnt                                # [KJ, KJ]
     _, u = jnp.linalg.eigh(cov)
     return u

@@ -110,8 +110,11 @@ class Trainer:
         # cache them across epochs (the reference re-featurized in every
         # DataLoader __getitem__, dataloader.py:30-42, IMCRA included)
         self._band_cache: Dict[tuple, tuple] = {}
-        # clean-side metric halves (SIIB KLT, HASPI clean ear) per chunk, on-device
-        self._clean_side_cache: Dict[str, object] = {}
+        # clean-side metric halves (SIIB KLT, HASPI clean ear) per chunk,
+        # on-device; LRU-bounded because the shuffled training sample makes
+        # non-repeating chunk keys (validation chunks repeat and stay hot)
+        from nelegan_tpu.utils.lru import LRUCache
+        self._clean_side_cache = LRUCache(max_entries=192)
         # scores of the immutable pre-enhanced (SSDRC) corpus, once per file
         self._drc_score_cache: Dict[str, Dict[str, float]] = {}
 

@@ -80,6 +80,38 @@ def test_siib_klt_cache_matches(triples):
             a["siib"], b["siib"])
 
 
+def test_clean_cache_keys_on_valid_length(triples):
+    """Same clean utterances but shorter enhanced files (different nv) must
+    not hit stale clean-side entries — the key includes per-row nv."""
+    from nelegan_tpu.utils.lru import LRUCache
+    cleans = [t[0] for t in triples]
+    noises = [t[1] for t in triples]
+    enhs = [t[2] for t in triples]
+    keys = [f"utt{i}" for i in range(len(triples))]
+    cache = LRUCache(max_entries=8)
+    score_corpus(cleans, noises, enhs, norm=False,
+                 metrics=("siib", "haspi"), clean_cache=cache,
+                 clean_keys=keys)
+    n0 = len(cache)
+    # trim 3000 samples: same bucket, different valid length
+    enhs_cut = [e[:-3000] for e in enhs]
+    cut = score_corpus(cleans, noises, enhs_cut, norm=False,
+                       metrics=("siib", "haspi"), clean_cache=cache,
+                       clean_keys=keys)
+    assert len(cache) > n0  # new entries, not stale hits
+    direct = score_corpus(cleans, noises, enhs_cut, norm=False,
+                          metrics=("siib", "haspi"))
+    for a, b in zip(direct, cut):
+        assert abs(a["haspi"] - b["haspi"]) < 2e-3 * max(abs(a["haspi"]), 1.0)
+        assert abs(a["siib"] - b["siib"]) < 1e-3 * max(a["siib"], 10.0)
+    # LRU bound holds under churn
+    for i in range(10):
+        score_corpus(cleans, noises, [e[:-100 * (i + 1)] for e in enhs],
+                     norm=False, metrics=("siib",), clean_cache=cache,
+                     clean_keys=keys)
+    assert len(cache) <= 8
+
+
 def test_haspi_clean_cache_matches(triples):
     """The split clean/degraded HASPI path must agree with the pair path,
     cold and warm (the single-side ear model is bit-identical math)."""
