@@ -364,19 +364,23 @@ def _ear_core(mids: jnp.ndarray, bw1, side_params, cfreq, level1: float,
     l_gam = min(n, 4096)
     l_ihc = min(n, 24576)
     l_smo = min(n, 512)
-    m = _fft_len_ir(n, l_ihc)
+    # one shared FFT size, set by the longest kernel (IHC): per-stage
+    # minimal sizes were tried and measured SLOWER end-to-end — mixed
+    # sizes inside the fused program cost more in XLA fusion/layout than
+    # the smaller FFTs save (full pair path 843 -> 1000 ms on v5e)
+    m_gam = m_smo = m_ihc = _fft_len_ir(n, l_ihc)
 
     # IHC adaptation: closed-form V1 impulse response (two exponentials)
     evals, p0, pinv_w, r1_inv = _ihc_eigen()
     ihc_ir = exp_sum_ir(list(evals), [p0[i] * pinv_w[i] for i in range(2)],
                         l_ihc, dt)
-    ihc_f = jnp.fft.rfft(ihc_ir, m)
+    ihc_f = jnp.fft.rfft(ihc_ir, m_ihc)
     # 800 Hz compression-gain smoother: lfilter([c, c], [1, -d], .)
     c800, d800 = 0.095107983402496, 0.809784033195007
     op = one_pole_ir(d800, l_smo, dt)
     smooth_ir = c800 * (op + jnp.concatenate(
         [jnp.zeros_like(op[:1]), op[:-1]]))
-    smooth_f = jnp.fft.rfft(smooth_ir, m)
+    smooth_f = jnp.fft.rfft(smooth_ir, m_smo)
 
     small = 1e-30
 
@@ -385,14 +389,14 @@ def _ear_core(mids: jnp.ndarray, bw1, side_params, cfreq, level1: float,
 
         def ear_side(mid, bw_min_n, aohc, lk, cr_n, aihc):
             # carrier demodulation spectra, shared by control + signal
-            xc_f = jnp.fft.rfft(mid * cosc, m)
-            xs_f = jnp.fft.rfft(mid * sinc, m)
+            xc_f = jnp.fft.rfft(mid * cosc, m_gam)
+            xs_f = jnp.fft.rfft(mid * sinc, m_gam)
 
             def gfilter(bw):
                 a, _, _, gain = _gammatone_coeffs(bw, cf, dt)
-                h_f = jnp.fft.rfft(gammatone_ir(a, l_gam, dt), m)
-                ur = jnp.fft.irfft(xc_f * h_f, m)[..., :n]
-                ui = jnp.fft.irfft(xs_f * h_f, m)[..., :n]
+                h_f = jnp.fft.rfft(gammatone_ir(a, l_gam, dt), m_gam)
+                ur = jnp.fft.irfft(xc_f * h_f, m_gam)[..., :n]
+                ui = jnp.fft.irfft(xs_f * h_f, m_gam)[..., :n]
                 return gain, ur, ui
 
             # 1e-20 inside the sqrts: sqrt'(0)=inf poisons gradients on
@@ -412,7 +416,8 @@ def _ear_core(mids: jnp.ndarray, bw1, side_params, cfreq, level1: float,
             logenv = jnp.clip(logenv, lk, 100.0)
             gain_db = -aohc - (logenv - lk) * (1.0 - 1.0 / cr_n)
             gain = 10.0 ** (gain_db / 20.0)
-            gain = jnp.fft.irfft(jnp.fft.rfft(gain, m) * smooth_f, m)[..., :n]
+            gain = jnp.fft.irfft(jnp.fft.rfft(gain, m_smo) * smooth_f,
+                                 m_smo)[..., :n]
             envc = gain * env
             bmc = gain * bm
 
@@ -423,7 +428,8 @@ def _ear_core(mids: jnp.ndarray, bw1, side_params, cfreq, level1: float,
 
             # IHC adaptation: V1 is linear in the input; the output clamp
             # and gain are elementwise (pyhaspi2.py:1065-1077)
-            v1 = jnp.fft.irfft(jnp.fft.rfft(ydb_, m) * ihc_f, m)[..., :n]
+            v1 = jnp.fft.irfft(jnp.fft.rfft(ydb_, m_ihc) * ihc_f,
+                               m_ihc)[..., :n]
             out = jnp.maximum((ydb_ - v1) * r1_inv, 0.0)
             bm_out = bmc * (out + small) / (ydb_ + small)
             return out, bm_out, ave, cave, bw_sig
