@@ -133,7 +133,7 @@ def score_corpus(clean_list, noise_list, enhanced_list, fs: int = 16000,
     import jax.numpy as jnp
     from nelegan_tpu.dsp.resample import resample_poly
     from nelegan_tpu.metrics.siib import (
-        siib_gauss_16k, siib_gauss_16k_with_klt, siib_klt_16k, siib_prepare)
+        siib_gauss_16k, siib_gauss_16k_with_klt, siib_klt_16k)
     from nelegan_tpu.metrics.haspi import (
         haspi_v2_24k, haspi_v2_clean_24k, haspi_v2_from_clean_24k,
         resample_to_24k)
@@ -207,11 +207,18 @@ def score_corpus(clean_list, noise_list, enhanced_list, fs: int = 16000,
         # nv = min(len(clean), len(noise), len(enhanced)) (masks, tail
         # silencing, SIIB tiling), so a same-clean chunk with different
         # trim lengths must not hit a stale entry
-        key_tuple = (None if clean_keys is None or clean_cache is None else
-                     (blen,) + tuple(
-                         (clean_keys[idxs[j] if j < bsz else idxs[0]],
-                          int(nv[j]))
-                         for j in range(alloc)))
+        row_keys = (None if clean_keys is None or clean_cache is None else
+                    [(clean_keys[idxs[j] if j < bsz else idxs[0]],
+                      int(nv[j])) for j in range(alloc)])
+        key_tuple = None if row_keys is None else (blen,) + tuple(row_keys)
+        # a CleanSidePool caches per UTTERANCE (hits under re-shuffled chunk
+        # composition); a plain mapping caches per chunk composition.  The
+        # pool's arbitrary-row gathers don't compose with mesh-sharded
+        # inputs, so sharded scoring uses the chunk-keyed form only.
+        pool = (clean_cache if hasattr(clean_cache, "ensure")
+                and mesh is None else None)
+        if pool is None and hasattr(clean_cache, "ensure"):
+            key_tuple = None
 
         out: Dict[str, Any] = {}
         if "estoi" in metrics:
@@ -228,15 +235,19 @@ def score_corpus(clean_list, noise_list, enhanced_list, fs: int = 16000,
                     lambda a, b, v: haspi_v2_24k(a, b, n_valid=v)[0])(
                     x24, y24, nv24)
             else:
-                hk = ("haspi-clean",) + key_tuple
-                cc = clean_cache.get(hk)
-                if cc is None:
-                    cc = jax.vmap(
-                        lambda a, v: haspi_v2_clean_24k(a, n_valid=v))(
-                        x24, nv24)
-                    if mesh is not None:
-                        cc = jax.device_put(cc, NamedSharding(mesh, P("data")))
-                    clean_cache[hk] = cc
+                compute = lambda: jax.vmap(
+                    lambda a, v: haspi_v2_clean_24k(a, n_valid=v))(x24, nv24)
+                if pool is not None:
+                    cc = pool.ensure(("haspi-clean", blen), row_keys, compute)
+                else:
+                    hk = ("haspi-clean",) + key_tuple
+                    cc = clean_cache.get(hk)
+                    if cc is None:
+                        cc = compute()
+                        if mesh is not None:
+                            cc = jax.device_put(
+                                cc, NamedSharding(mesh, P("data")))
+                        clean_cache[hk] = cc
                 out["haspi"] = jax.vmap(
                     lambda b, v, c: haspi_v2_from_clean_24k(
                         b, c, n_valid=v)[0])(y24, nv24, cc)
@@ -245,34 +256,46 @@ def score_corpus(clean_list, noise_list, enhanced_list, fs: int = 16000,
         if "visqol" in metrics:
             out["visqol"] = jax.vmap(visqol_proxy_16k)(ref_j, enh_j, nv_j)
         if "siib" in metrics:
-            # tile-to-20s prep is host-side and per-utterance; the tiled
-            # signals land in one shared bucket so the core vmaps
-            prepped = [siib_prepare(ref[j, :nv[j]], ne[j, :nv[j]], fs)
-                       for j in range(alloc)]
-            tmax = max(p[2] for p in prepped)
-            sb = -(-tmax // bucket_quant) * bucket_quant
-            xs = np.zeros((alloc, sb), np.float32)
-            ys = np.zeros((alloc, sb), np.float32)
+            # tile-to-20s rule (intel.py:93-97): only the VAD decision runs
+            # on host (a few ms per chunk); the actual tiling is a modulo-
+            # gather ON DEVICE from the already-uploaded ref/ne buffers —
+            # avoids re-uploading ~30 MB of tiled signals per chunk through
+            # the device tunnel (was the dominant SIIB cost once the KLT
+            # was cached)
+            from nelegan_tpu.metrics.siib import _vad_mask, HOP as SIIB_HOP
             sv = np.zeros(alloc, np.int32)
-            for j, (xt, yt, nvt) in enumerate(prepped):
-                xs[j, :nvt] = xt[:nvt]
-                ys[j, :nvt] = yt[:nvt]
-                sv[j] = nvt
-            xs_j, ys_j, sv_j = map(jnp.asarray, (xs, ys, sv))
+            for j in range(alloc):
+                nvj = int(nv[j])
+                active = _vad_mask(ref[j, :nvj]).sum() / (fs / SIIB_HOP)
+                m_fac = (max(int(np.floor(25.0 / max(active, 0.25))), 1)
+                         if active < 20 else 1)
+                sv[j] = m_fac * nvj
+            sb = -(-int(sv.max()) // bucket_quant) * bucket_quant
+            sv_j = jnp.asarray(sv)
             if mesh is not None:
-                xs_j, ys_j, sv_j = (jax.device_put(a, row)
-                                    for a in (xs_j, ys_j, sv_j))
+                sv_j = jax.device_put(sv_j, row)
+
+            def _tile_mod(sig, nvj, svj):
+                idx = jnp.arange(sb) % jnp.maximum(nvj, 1)
+                return sig[idx] * (jnp.arange(sb) < svj).astype(sig.dtype)
+
+            xs_j = jax.vmap(_tile_mod)(ref_j, nv_j, sv_j)
+            ys_j = jax.vmap(_tile_mod)(ne_j, nv_j, sv_j)
             if key_tuple is None:
                 out["siib"] = jax.vmap(siib_gauss_16k)(xs_j, ys_j, sv_j)
             else:
-                sk = ("siib-klt",) + key_tuple
-                u = clean_cache.get(sk)
-                if u is None:
-                    u = jax.vmap(siib_klt_16k)(xs_j, sv_j)
-                    if mesh is not None:
-                        u = jax.device_put(u, NamedSharding(
-                            mesh, P("data", None, None)))
-                    clean_cache[sk] = u
+                compute = lambda: jax.vmap(siib_klt_16k)(xs_j, sv_j)
+                if pool is not None:
+                    u = pool.ensure(("siib-klt",), row_keys, compute)
+                else:
+                    sk = ("siib-klt",) + key_tuple
+                    u = clean_cache.get(sk)
+                    if u is None:
+                        u = compute()
+                        if mesh is not None:
+                            u = jax.device_put(u, NamedSharding(
+                                mesh, P("data", None, None)))
+                        clean_cache[sk] = u
                 out["siib"] = jax.vmap(siib_gauss_16k_with_klt)(
                     xs_j, ys_j, sv_j, u)
 

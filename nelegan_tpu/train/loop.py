@@ -110,11 +110,6 @@ class Trainer:
         # cache them across epochs (the reference re-featurized in every
         # DataLoader __getitem__, dataloader.py:30-42, IMCRA included)
         self._band_cache: Dict[tuple, tuple] = {}
-        # clean-side metric halves (SIIB KLT, HASPI clean ear) per chunk,
-        # on-device; LRU-bounded because the shuffled training sample makes
-        # non-repeating chunk keys (validation chunks repeat and stay hot)
-        from nelegan_tpu.utils.lru import LRUCache
-        self._clean_side_cache = LRUCache(max_entries=192)
         # scores of the immutable pre-enhanced (SSDRC) corpus, once per file
         self._drc_score_cache: Dict[str, Dict[str, float]] = {}
 
@@ -127,6 +122,18 @@ class Trainer:
                 "batch_size must divide the device count for data-parallel")
             self.mesh = make_mesh(model_parallel=1)
             self.state = replicate(self.mesh, self.state)
+
+        # clean-side metric halves (SIIB KLT, HASPI clean ear), on-device,
+        # capacity-bounded.  Single-chip: per-utterance pool — hits even
+        # under the per-epoch re-shuffled training sample.  Sharded: chunk-
+        # keyed LRU (pool gathers don't compose with sharded inputs), which
+        # still serves the fixed-composition validation corpus.
+        if self.mesh is None:
+            from nelegan_tpu.metrics.clean_pool import CleanSidePool
+            self._clean_side_cache = CleanSidePool(max_rows_per_shape=768)
+        else:
+            from nelegan_tpu.utils.lru import LRUCache
+            self._clean_side_cache = LRUCache(max_entries=192)
 
     def _maybe_shard(self, *arrays):
         """Shard a batch over the data axis, padding ragged batches by

@@ -112,6 +112,36 @@ def test_clean_cache_keys_on_valid_length(triples):
     assert len(cache) <= 8
 
 
+def test_clean_pool_hits_reshuffled_chunks(triples):
+    """CleanSidePool caches per utterance, so scores must match the direct
+    path even when the corpus is rescored in a different order (per-epoch
+    shuffled sampling) and with changed enhanced signals."""
+    from nelegan_tpu.metrics.clean_pool import CleanSidePool
+    cleans = [t[0] for t in triples]
+    noises = [t[1] for t in triples]
+    enhs = [t[2] for t in triples]
+    keys = [f"utt{i}" for i in range(len(triples))]
+    pool = CleanSidePool(max_rows_per_shape=8)
+    score_corpus(cleans, noises, enhs, norm=False, metrics=("siib", "haspi"),
+                 clean_cache=pool, clean_keys=keys)
+    n_resident = len(pool)
+    assert n_resident >= len(triples)
+    # "next epoch": same utterances, reversed order, new enhanced signals
+    order = list(reversed(range(len(triples))))
+    enhs2 = [0.85 * enhs[i] + 0.01 * noises[i] for i in order]
+    warm = score_corpus([cleans[i] for i in order],
+                        [noises[i] for i in order], enhs2,
+                        norm=False, metrics=("siib", "haspi"),
+                        clean_cache=pool, clean_keys=[keys[i] for i in order])
+    assert len(pool) == n_resident  # pure hits, nothing recomputed
+    direct = score_corpus([cleans[i] for i in order],
+                          [noises[i] for i in order], enhs2,
+                          norm=False, metrics=("siib", "haspi"))
+    for a, b in zip(direct, warm):
+        assert abs(a["haspi"] - b["haspi"]) < 2e-3 * max(abs(a["haspi"]), 1.0)
+        assert abs(a["siib"] - b["siib"]) < 0.02 * max(a["siib"], 10.0)
+
+
 def test_haspi_clean_cache_matches(triples):
     """The split clean/degraded HASPI path must agree with the pair path,
     cold and warm (the single-side ear model is bit-identical math)."""
