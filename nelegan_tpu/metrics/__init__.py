@@ -118,16 +118,19 @@ def score_corpus(clean_list, noise_list, enhanced_list, fs: int = 16000,
     size — the TPU-native replacement for the reference's 32-process CPU
     pool (audio_util.py:146).  `vmap_chunk` then means per-device width.
 
-    `clean_cache` (a mutable mapping) with `clean_keys` (one hashable key
-    per utterance, e.g. the clean file path) caches the clean-side halves
-    of SIIB (the KLT basis, siib.siib_klt_16k — the eigh is ~80% of a
-    score's device time) and HASPI v2 (the clean ear model + envelope,
-    haspi.haspi_v2_clean_24k — the ear model is ~90%, half of it clean-
-    side) across calls.  In training, the validation corpus repeats
-    identically every epoch, so warm epochs skip all of it.  Entries are
-    per-chunk stacked arrays kept ON DEVICE (no host round trips through
-    the tunnel; ~2.4 MB per utterance, ~0.8 GB per 300-utterance corpus
-    of v5e HBM).
+    `clean_cache` with `clean_keys` (one hashable key per utterance, e.g.
+    the clean file path) caches the clean-side halves of SIIB (the KLT
+    basis, siib.siib_klt_16k — the eigh is ~80% of a score's device time)
+    and HASPI v2 (the clean ear model + envelope, haspi.haspi_v2_clean_24k
+    — the ear model is ~90%, half of it clean-side) across calls; entries
+    stay ON DEVICE (~2.4 MB per utterance).  Two cache forms:
+      * a metrics.clean_pool.CleanSidePool — per-UTTERANCE rows in pooled
+        device arrays, one batched gather per chunk; hits survive
+        re-shuffled chunk composition (the per-epoch training sample).
+        Measured 1.94x on shuffled SIIB+HASPI corpus scoring.
+      * any dict-like mapping (e.g. utils.lru.LRUCache) — per chunk
+        composition; used for mesh-sharded scoring, where arbitrary-row
+        gathers don't compose with the data-axis sharding.
     """
     import jax
     import jax.numpy as jnp
