@@ -45,6 +45,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="reference chkpt_GD.pt to initialise from")
     p.add_argument("--platform", default=None,
                    help="force jax platform (cpu/tpu)")
+    p.add_argument("--verbose-timing", action="store_true",
+                   help="print per-epoch phase timing deltas")
     return p
 
 
@@ -89,9 +91,10 @@ def main(argv=None):
     if args.max_retries > 0:
         from nelegan_tpu.train.resilience import run_with_recovery
         run_with_recovery(make_trainer, args.epochs,
-                          max_retries=args.max_retries)
+                          max_retries=args.max_retries,
+                          verbose_timing=args.verbose_timing)
     else:
-        make_trainer().run(args.epochs)
+        make_trainer().run(args.epochs, verbose_timing=args.verbose_timing)
 
 
 if __name__ == "__main__":

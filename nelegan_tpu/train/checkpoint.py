@@ -31,8 +31,11 @@ def save_checkpoint(directory: str, epoch: int, state: TrainState,
                     extra: Optional[Dict[str, Any]] = None) -> str:
     os.makedirs(directory, exist_ok=True)
     path = os.path.join(directory, f"chkpt_{epoch}.msgpack")
+    # batched fetch: to_bytes on device arrays pulls each leaf separately
+    # (~250 tunnel round trips, ~8 s/epoch measured) — pack + fetch first
+    from nelegan_tpu.utils.transfer import fetch_pytree
     blob = serialization.to_bytes({
-        "state": state._asdict(),
+        "state": fetch_pytree(state._asdict()),
         "rng": np.asarray(jax.random.key_data(rng)),
     })
     with open(path, "wb") as f:
