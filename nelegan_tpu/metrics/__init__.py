@@ -140,7 +140,8 @@ def score_corpus(clean_list, noise_list, enhanced_list, fs: int = 16000,
     from nelegan_tpu.metrics.haspi import (
         haspi_v2_24k, haspi_v2_clean_24k, haspi_v2_from_clean_24k,
         resample_to_24k)
-    from nelegan_tpu.metrics.estoi import estoi_10k
+    from nelegan_tpu.metrics.estoi import (
+        estoi_10k, estoi_clean_10k, estoi_from_clean_10k)
 
     assert fs == 16000
     n_utts = len(clean_list)
@@ -228,7 +229,13 @@ def score_corpus(clean_list, noise_list, enhanced_list, fs: int = 16000,
             x10 = resample_poly(ref_j, 5, 8)
             y10 = resample_poly(ne_j, 5, 8)
             nv10 = -(-nv_j * 5 // 8)
-            out["estoi"] = jax.vmap(estoi_10k)(x10, y10, nv10)
+            if key_tuple is None or pool is None:
+                out["estoi"] = jax.vmap(estoi_10k)(x10, y10, nv10)
+            else:
+                ec = pool.ensure(
+                    ("estoi-clean", blen), row_keys,
+                    lambda: jax.vmap(estoi_clean_10k)(x10, nv10))
+                out["estoi"] = jax.vmap(estoi_from_clean_10k)(y10, ec, nv10)
         if "haspi" in metrics:
             x24 = resample_to_24k(ref_j, fs)
             y24 = resample_to_24k(ne_j, fs)

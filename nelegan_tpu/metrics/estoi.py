@@ -58,24 +58,13 @@ def _hann_open(n: int) -> np.ndarray:
 from nelegan_tpu.metrics._framing import frame_exclusive as _frame
 
 
-@jax.jit
-def estoi_10k(x: jnp.ndarray, y: jnp.ndarray,
-              n_valid: jnp.ndarray | None = None) -> jnp.ndarray:
-    """ESTOI on equal-length 10 kHz signals.
-
-    n_valid (optional, traced): number of real samples — everything beyond
-    is zero padding.  Frames extending past n_valid are excluded exactly as
-    if the signal had been trimmed (the framing is exclusive), so padded
-    scoring is bit-equal to exact-length scoring; this lets callers bucket
-    utterances into a few shapes and vmap.
-    """
+def _select_frames(x: jnp.ndarray, n_valid):
+    """Clean-driven silence removal: framing + 40 dB keep mask, compacted
+    to the front.  Returns (order, kcount, nf)."""
     dt = x.dtype
     w = jnp.asarray(_hann_open(N_FRAME), dt)
-
-    xf = _frame(x, N_FRAME, HOP) * w          # [F, 256]
-    yf = _frame(y, N_FRAME, HOP) * w
+    xf = _frame(x, N_FRAME, HOP) * w
     nf = xf.shape[0]
-
     # the silence-removal selection is inherently non-differentiable; keep
     # its computation out of the backward graph (norm(0) has a NaN grad)
     energy = jax.lax.stop_gradient(
@@ -88,47 +77,87 @@ def estoi_10k(x: jnp.ndarray, y: jnp.ndarray,
     keep = energy > (jnp.max(energy) - DYN_RANGE)      # [F]
     kcount = jnp.sum(keep)
     order = jnp.argsort(~keep, stable=True)
-    xk = xf[order] * keep[order][:, None]
-    yk = yf[order] * keep[order][:, None]
+    return order, kcount, nf
+
+
+def _norm_segments(sig: jnp.ndarray, order, kcount, nf: int):
+    """One signal's half of the ESTOI core: compacted overlap-add, rFFT,
+    third-octave envelopes, 30-frame segments, row+column normalisation.
+    Returns (segments [S, 15, 30], seg_valid [S])."""
+    dt = sig.dtype
+    w = jnp.asarray(_hann_open(N_FRAME), dt)
+    sf = _frame(sig, N_FRAME, HOP) * w
+    live = (jnp.arange(nf) < kcount)
+    sk = sf[order] * live[:, None]
 
     # overlap-add the kept (windowed) frames back into a signal buffer
     buf_len = (nf - 1) * HOP + N_FRAME
     a_idx = (np.arange(nf)[:, None] * HOP
              + np.arange(N_FRAME)[None, :]).reshape(-1)
-    x_sil = jnp.zeros((buf_len,), dt).at[a_idx].add(xk.reshape(-1))
-    y_sil = jnp.zeros((buf_len,), dt).at[a_idx].add(yk.reshape(-1))
+    sil = jnp.zeros((buf_len,), dt).at[a_idx].add(sk.reshape(-1))
 
     # re-frame + rFFT (512) -> third-octave band envelopes
-    xsf = _frame(x_sil, N_FRAME, HOP) * w
-    ysf = _frame(y_sil, N_FRAME, HOP) * w
-    n_spec = xsf.shape[0]
-    valid_frames = kcount - 1                          # frames of x_sil
+    ssf = _frame(sil, N_FRAME, HOP) * w
+    n_spec = ssf.shape[0]
     obm = jnp.asarray(_third_octave_matrix(), dt)
-    xs = jnp.abs(jnp.fft.rfft(xsf, NFFT, axis=-1)) ** 2   # [F', 257]
-    ys = jnp.abs(jnp.fft.rfft(ysf, NFFT, axis=-1)) ** 2
+    ps = jnp.abs(jnp.fft.rfft(ssf, NFFT, axis=-1)) ** 2   # [F', 257]
     # epsilon inside the sqrt: padded/silent frames are exactly 0 and
     # sqrt'(0)=inf would poison gradients through the later masking
-    x_tob = jnp.sqrt(xs @ obm.T + 1e-20).T             # [15, F']
-    y_tob = jnp.sqrt(ys @ obm.T + 1e-20).T
+    tob = jnp.sqrt(ps @ obm.T + 1e-20).T               # [15, F']
 
     # N=30-frame sliding segments, masked to the valid region
     n_segs = n_spec - N_SEG + 1
     seg_idx = np.arange(n_segs)[:, None] + np.arange(N_SEG)[None, :]
-    xseg = x_tob[:, seg_idx].transpose(1, 0, 2)        # [S, 15, 30]
-    yseg = y_tob[:, seg_idx].transpose(1, 0, 2)
+    seg = tob[:, seg_idx].transpose(1, 0, 2)           # [S, 15, 30]
+    valid_frames = kcount - 1                          # frames of sil
     seg_valid = (jnp.arange(n_segs) + N_SEG) <= valid_frames
 
-    def row_col_normalize(s):
-        s = s - jnp.mean(s, axis=-1, keepdims=True)
-        s = s / jnp.maximum(
-            jnp.sqrt(jnp.sum(s * s, axis=-1, keepdims=True)), _EPS)
-        s = s - jnp.mean(s, axis=1, keepdims=True)
-        s = s / jnp.maximum(
-            jnp.sqrt(jnp.sum(s * s, axis=1, keepdims=True)), _EPS)
-        return s
+    s = seg - jnp.mean(seg, axis=-1, keepdims=True)
+    s = s / jnp.maximum(
+        jnp.sqrt(jnp.sum(s * s, axis=-1, keepdims=True)), _EPS)
+    s = s - jnp.mean(s, axis=1, keepdims=True)
+    s = s / jnp.maximum(
+        jnp.sqrt(jnp.sum(s * s, axis=1, keepdims=True)), _EPS)
+    return s, seg_valid
 
-    xn = row_col_normalize(xseg)
-    yn = row_col_normalize(yseg)
+
+@jax.jit
+def estoi_clean_10k(x: jnp.ndarray, n_valid: jnp.ndarray | None = None):
+    """Clean-side half of ESTOI — a function of the reference signal only
+    (the silence mask is clean-driven), cacheable across training epochs
+    (score_corpus's clean_cache).  Returns {"xn", "order", "kcount"}."""
+    order, kcount, nf = _select_frames(x, n_valid)
+    xn, _ = _norm_segments(x, order, kcount, nf)
+    return {"xn": xn, "order": order.astype(jnp.int32),
+            "kcount": kcount.astype(jnp.int32)}
+
+
+@jax.jit
+def estoi_from_clean_10k(y: jnp.ndarray, clean,
+                         n_valid: jnp.ndarray | None = None) -> jnp.ndarray:
+    """ESTOI of a degraded signal against a cached clean half
+    (estoi_clean_10k) — bit-identical to estoi_10k."""
+    del n_valid  # the valid region is fully encoded in order/kcount
+    nf = clean["order"].shape[0]
+    yn, seg_valid = _norm_segments(y, clean["order"], clean["kcount"], nf)
+    corr = jnp.sum(clean["xn"] * yn, axis=(1, 2)) / N_SEG
+    return jnp.sum(corr * seg_valid) / jnp.maximum(jnp.sum(seg_valid), 1)
+
+
+@jax.jit
+def estoi_10k(x: jnp.ndarray, y: jnp.ndarray,
+              n_valid: jnp.ndarray | None = None) -> jnp.ndarray:
+    """ESTOI on equal-length 10 kHz signals.
+
+    n_valid (optional, traced): number of real samples — everything beyond
+    is zero padding.  Frames extending past n_valid are excluded exactly as
+    if the signal had been trimmed (the framing is exclusive), so padded
+    scoring is bit-equal to exact-length scoring; this lets callers bucket
+    utterances into a few shapes and vmap.
+    """
+    order, kcount, nf = _select_frames(x, n_valid)
+    xn, _ = _norm_segments(x, order, kcount, nf)
+    yn, seg_valid = _norm_segments(y, order, kcount, nf)
     corr = jnp.sum(xn * yn, axis=(1, 2)) / N_SEG       # [S]
     return jnp.sum(corr * seg_valid) / jnp.maximum(jnp.sum(seg_valid), 1)
 

@@ -122,7 +122,8 @@ def test_clean_pool_hits_reshuffled_chunks(triples):
     enhs = [t[2] for t in triples]
     keys = [f"utt{i}" for i in range(len(triples))]
     pool = CleanSidePool(max_rows_per_shape=8)
-    score_corpus(cleans, noises, enhs, norm=False, metrics=("siib", "haspi"),
+    score_corpus(cleans, noises, enhs, norm=False,
+                 metrics=("siib", "haspi", "estoi"),
                  clean_cache=pool, clean_keys=keys)
     n_resident = len(pool)
     assert n_resident >= len(triples)
@@ -131,15 +132,16 @@ def test_clean_pool_hits_reshuffled_chunks(triples):
     enhs2 = [0.85 * enhs[i] + 0.01 * noises[i] for i in order]
     warm = score_corpus([cleans[i] for i in order],
                         [noises[i] for i in order], enhs2,
-                        norm=False, metrics=("siib", "haspi"),
+                        norm=False, metrics=("siib", "haspi", "estoi"),
                         clean_cache=pool, clean_keys=[keys[i] for i in order])
     assert len(pool) == n_resident  # pure hits, nothing recomputed
     direct = score_corpus([cleans[i] for i in order],
                           [noises[i] for i in order], enhs2,
-                          norm=False, metrics=("siib", "haspi"))
+                          norm=False, metrics=("siib", "haspi", "estoi"))
     for a, b in zip(direct, warm):
         assert abs(a["haspi"] - b["haspi"]) < 2e-3 * max(abs(a["haspi"]), 1.0)
         assert abs(a["siib"] - b["siib"]) < 0.02 * max(a["siib"], 10.0)
+        assert abs(a["estoi"] - b["estoi"]) < 1e-5  # bit-identical half
 
 
 def test_haspi_clean_cache_matches(triples):
