@@ -278,7 +278,8 @@ class Trainer:
             args = self._maybe_shard(*args)
             self.state, loss = gan.g_step_bands(self.state, *args, self.cfg)
             losses.append(loss)
-        return float(np.mean([np.asarray(l) for l in losses])) \
+        import jax.numpy as jnp
+        return float(np.mean(np.asarray(jnp.stack(losses)))) \
             if losses else 0.0
 
     def validate(self, epoch: int) -> Dict[str, float]:
@@ -374,8 +375,14 @@ class Trainer:
                 update_intel=self.intel_active,
                 update_quality=self.qua_active)
             losses.append((ld, lq))
-        return [(float(np.asarray(a)), float(np.asarray(b)))
-                for a, b in losses]
+        if not losses:
+            return []
+        # one device->host transfer for all step losses (a per-scalar
+        # np.asarray costs a full tunnel round trip each)
+        import jax.numpy as jnp
+        flat = np.asarray(jnp.stack([jnp.stack(p) for p in losses]))
+        return [(float(flat[i, 0]), float(flat[i, 1]))
+                for i in range(len(losses))]
 
     # ------------------------------------------------------------------
     def run_epoch(self, epoch: int) -> Dict[str, float]:
