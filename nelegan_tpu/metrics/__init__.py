@@ -224,40 +224,50 @@ def score_corpus(clean_list, noise_list, enhanced_list, fs: int = 16000,
         if pool is None and hasattr(clean_cache, "ensure"):
             key_tuple = None
 
+        def cached_clean(name, shape_sig, compute):
+            """Clean-side entry via whichever cache form is active: the
+            per-utterance pool (single gather per chunk) or the chunk-keyed
+            mapping (mesh-sharded path)."""
+            if pool is not None:
+                return pool.ensure((name,) + shape_sig, row_keys, compute)
+            k = (name,) + key_tuple
+            v = clean_cache.get(k)
+            if v is None:
+                v = compute()
+                if mesh is not None:
+                    v = jax.device_put(v, NamedSharding(mesh, P("data")))
+                clean_cache[k] = v
+            return v
+
         out: Dict[str, Any] = {}
         if "estoi" in metrics:
-            x10 = resample_poly(ref_j, 5, 8)
             y10 = resample_poly(ne_j, 5, 8)
             nv10 = -(-nv_j * 5 // 8)
-            if key_tuple is None or pool is None:
+            if key_tuple is None:
+                x10 = resample_poly(ref_j, 5, 8)
                 out["estoi"] = jax.vmap(estoi_10k)(x10, y10, nv10)
             else:
-                ec = pool.ensure(
-                    ("estoi-clean", blen), row_keys,
-                    lambda: jax.vmap(estoi_clean_10k)(x10, nv10))
+                # the clean-side resample lives inside the compute lambda:
+                # a warm cache hit must not dispatch it at all
+                ec = cached_clean(
+                    "estoi-clean", (blen,),
+                    lambda: jax.vmap(estoi_clean_10k)(
+                        resample_poly(ref_j, 5, 8), nv10))
                 out["estoi"] = jax.vmap(estoi_from_clean_10k)(y10, ec, nv10)
         if "haspi" in metrics:
-            x24 = resample_to_24k(ref_j, fs)
             y24 = resample_to_24k(ne_j, fs)
             nv24 = -(-nv_j * 3 // 2)
             if key_tuple is None:
+                x24 = resample_to_24k(ref_j, fs)
                 out["haspi"] = jax.vmap(
                     lambda a, b, v: haspi_v2_24k(a, b, n_valid=v)[0])(
                     x24, y24, nv24)
             else:
-                compute = lambda: jax.vmap(
-                    lambda a, v: haspi_v2_clean_24k(a, n_valid=v))(x24, nv24)
-                if pool is not None:
-                    cc = pool.ensure(("haspi-clean", blen), row_keys, compute)
-                else:
-                    hk = ("haspi-clean",) + key_tuple
-                    cc = clean_cache.get(hk)
-                    if cc is None:
-                        cc = compute()
-                        if mesh is not None:
-                            cc = jax.device_put(
-                                cc, NamedSharding(mesh, P("data")))
-                        clean_cache[hk] = cc
+                cc = cached_clean(
+                    "haspi-clean", (blen,),
+                    lambda: jax.vmap(
+                        lambda a, v: haspi_v2_clean_24k(a, n_valid=v))(
+                        resample_to_24k(ref_j, fs), nv24))
                 out["haspi"] = jax.vmap(
                     lambda b, v, c: haspi_v2_from_clean_24k(
                         b, c, n_valid=v)[0])(y24, nv24, cc)
@@ -294,18 +304,9 @@ def score_corpus(clean_list, noise_list, enhanced_list, fs: int = 16000,
             if key_tuple is None:
                 out["siib"] = jax.vmap(siib_gauss_16k)(xs_j, ys_j, sv_j)
             else:
-                compute = lambda: jax.vmap(siib_klt_16k)(xs_j, sv_j)
-                if pool is not None:
-                    u = pool.ensure(("siib-klt",), row_keys, compute)
-                else:
-                    sk = ("siib-klt",) + key_tuple
-                    u = clean_cache.get(sk)
-                    if u is None:
-                        u = compute()
-                        if mesh is not None:
-                            u = jax.device_put(u, NamedSharding(
-                                mesh, P("data", None, None)))
-                        clean_cache[sk] = u
+                u = cached_clean(
+                    "siib-klt", (),
+                    lambda: jax.vmap(siib_klt_16k)(xs_j, sv_j))
                 out["siib"] = jax.vmap(siib_gauss_16k_with_klt)(
                     xs_j, ys_j, sv_j, u)
 

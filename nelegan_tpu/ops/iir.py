@@ -123,12 +123,11 @@ def _fft_len(n: int) -> int:
 
 
 def _fft_len_ir(n: int, ir_len: int) -> int:
-    """n + ir_len rounded up to a multiple of 4096: the exact
-    linear-convolution FFT size for a length-n signal against a length-
-    ir_len kernel.  The auditory model's impulse responses decay
-    exponentially, so truncating them at the f32 noise floor (caller picks
-    ir_len from the slowest pole) typically halves the FFT size vs the
-    full 2n rule.
+    """Smallest 2^k or 3*2^k >= n + ir_len: the exact linear-convolution
+    FFT size for a length-n signal against a length-ir_len kernel.  The
+    auditory model's impulse responses decay exponentially, so truncating
+    them at the f32 noise floor (caller picks ir_len from the slowest
+    pole) typically halves the FFT size vs the full 2n rule.
 
     Size granularity, measured on v5e: an ISOLATED rfft/irfft pair is
     ~linear in size even at 4096-multiples (4096*19 beats 3*2^k by 25%),
