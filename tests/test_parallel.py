@@ -107,3 +107,39 @@ def test_score_corpus_sharded_matches_single():
     for s, h in zip(single, sharded):
         for k in metrics:
             assert abs(s[k] - h[k]) <= 1e-3 * max(1.0, abs(s[k])), (k, s, h)
+
+
+def test_score_corpus_sharded_with_clean_cache():
+    """The chunk-keyed clean-side cache composes with mesh sharding: warm
+    rescoring is bit-stable and matches the uncached sharded path."""
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    import scipy.io.wavfile as wavfile
+    from nelegan_tpu.metrics import score_corpus
+    from nelegan_tpu.utils.lru import LRUCache
+    _, c = wavfile.read(
+        "/root/reference/toy_dataset/Train/Clean/f_hvd_100#Babble#-11.wav")
+    _, n = wavfile.read(
+        "/root/reference/toy_dataset/Train/Noise/f_hvd_100#Babble#-11.wav")
+    clean = (c / 32768.0).astype(np.float32)
+    noise = (n / 32768.0).astype(np.float32)
+    cleans = [clean[:12000] * (0.9 + 0.02 * i) for i in range(4)]
+    noises = [noise[:12000] * 0.3] * 4
+    enhs = [cl * 0.9 for cl in cleans]
+    keys = [f"u{i}" for i in range(4)]
+    metrics = ("estoi", "haspi")
+    mesh = make_mesh(8, model_parallel=1)
+    cache = LRUCache(16)
+    cold = score_corpus(cleans, noises, enhs, norm=False, metrics=metrics,
+                        mesh=mesh, vmap_chunk=1, bucket_quant=4096,
+                        clean_cache=cache, clean_keys=keys)
+    assert len(cache) >= 2
+    warm = score_corpus(cleans, noises, enhs, norm=False, metrics=metrics,
+                        mesh=mesh, vmap_chunk=1, bucket_quant=4096,
+                        clean_cache=cache, clean_keys=keys)
+    plain = score_corpus(cleans, noises, enhs, norm=False, metrics=metrics,
+                         mesh=mesh, vmap_chunk=1, bucket_quant=4096)
+    for a, b, d in zip(cold, warm, plain):
+        for k in metrics:
+            assert abs(a[k] - b[k]) < 1e-6, (k, a, b)
+            assert abs(a[k] - d[k]) <= 2e-3 * max(1.0, abs(d[k])), (k, a, d)
