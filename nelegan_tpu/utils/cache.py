@@ -1,9 +1,16 @@
 """Persistent XLA compilation cache.
 
-Remote TPU compiles take 30-240 s per program shape in this environment;
-the persistent cache makes every rerun (training restarts, bench, CLIs)
-reuse them.  Call once before heavy jit use; safe no-op if the backend
-doesn't support serialisation.
+Remote TPU compiles take 30-240 s per program shape in this environment
+(and far worse under remote-service load: a trivial jit measured 319 s at
+one point); the persistent cache makes reruns (training restarts, bench,
+CLIs) reuse compiled programs where the backend supports executable
+serialisation.  Measured caveat: the axon remote-TPU backend does NOT
+serialise executables (a fresh-shape TPU compile writes zero cache
+entries), so only CPU programs persist — fresh-process TPU cold starts
+pay full remote compiles regardless.  The mitigations that do work are
+structural and already in place: fixed-width bucket padding, power-of-two
+chunk widths, and shape-stable per-epoch programs, which bound the number
+of distinct compiles per run.
 """
 from __future__ import annotations
 
