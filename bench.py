@@ -191,24 +191,6 @@ def measure_extras() -> dict:
         _ = float(estoi_10k(x10, y10))
     out["estoi_scores_per_sec"] = round(10 / (time.perf_counter() - t0), 2)
 
-    # config 3 addendum: bucketed corpus scoring with the clean-side pool
-    # (training-loop path: clean references repeat across epochs)
-    from nelegan_tpu.metrics import score_corpus
-    from nelegan_tpu.metrics.clean_pool import CleanSidePool
-    cs = [clean * (0.9 + 0.01 * i) for i in range(8)]
-    ns = [noise * 0.3] * 8
-    es = [c * 0.9 for c in cs]
-    ks = [f"u{i}" for i in range(8)]
-    pool = CleanSidePool()
-    sm = ("siib", "haspi", "estoi")
-    score_corpus(cs, ns, es, norm=False, metrics=sm,
-                 clean_cache=pool, clean_keys=ks)  # fill + compile
-    t0 = time.perf_counter()
-    score_corpus(cs, ns, es, norm=False, metrics=sm,
-                 clean_cache=pool, clean_keys=ks)
-    out["corpus_siib_haspi_estoi_utts_per_sec_warm"] = round(
-        8 / (time.perf_counter() - t0), 2)
-
     # config 3 addendum: full ITU-T P.862 PESQ, 8-wide batched
     from nelegan_tpu.metrics.pesq import pesq_p862_16k
     refs = jnp.asarray(np.stack([clean] * 8))
@@ -229,6 +211,29 @@ def measure_extras() -> dict:
         _ = np.asarray(pipeline.active_speech_level_batch(wavs))
     out["aslp56_utts_per_sec"] = round(
         10 * BATCH / (time.perf_counter() - t0), 2)
+
+    # config 3 addendum (LAST: it compiles several metric programs, and
+    # remote-compile latency varies ~10x with service load — if it stalls,
+    # everything above is already measured): bucketed corpus scoring with
+    # the clean-side pool (training-loop path — clean references repeat)
+    try:
+        from nelegan_tpu.metrics import score_corpus
+        from nelegan_tpu.metrics.clean_pool import CleanSidePool
+        cs = [clean * (0.9 + 0.01 * i) for i in range(8)]
+        ns = [noise * 0.3] * 8
+        es = [c * 0.9 for c in cs]
+        ks = [f"u{i}" for i in range(8)]
+        pool = CleanSidePool()
+        sm = ("siib", "haspi", "estoi")
+        score_corpus(cs, ns, es, norm=False, metrics=sm,
+                     clean_cache=pool, clean_keys=ks)  # fill + compile
+        t0 = time.perf_counter()
+        score_corpus(cs, ns, es, norm=False, metrics=sm,
+                     clean_cache=pool, clean_keys=ks)
+        out["corpus_siib_haspi_estoi_utts_per_sec_warm"] = round(
+            8 / (time.perf_counter() - t0), 2)
+    except Exception as e:
+        out["corpus_scoring_error"] = str(e)[:120]
     return out
 
 
