@@ -7,8 +7,15 @@ module imports jax at collection outside these tests.
 import os
 
 # Force CPU for tests (the ambient env routes JAX to the axon TPU tunnel);
-# NELE_TEST_PLATFORM=tpu opts back in for on-device smoke tests.
-os.environ["JAX_PLATFORMS"] = os.environ.get("NELE_TEST_PLATFORM", "cpu")
+# NELE_TEST_PLATFORM=tpu opts back in for on-device smoke tests.  "tpu"
+# defers to the ambient backend registration (a tunnel-attached chip
+# registers as platform 'axon' — forcing JAX_PLATFORMS=tpu there fails
+# with "no jellyfish device"); any other value is forced verbatim.
+_plat = os.environ.get("NELE_TEST_PLATFORM", "cpu")
+if _plat == "tpu":
+    os.environ.pop("JAX_PLATFORMS", None)
+else:
+    os.environ["JAX_PLATFORMS"] = _plat
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -18,14 +25,15 @@ import jax  # noqa: E402
 
 # A pytest plugin may have imported jax before this conftest ran, so set the
 # platform through jax.config too (effective until a backend is initialised).
-jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+if "JAX_PLATFORMS" in os.environ:
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 # Allow float64 in tests: library code follows input dtypes, so f64 inputs
 # give exact-parity checks against the float64 reference goldens while f32
 # inputs exercise TPU-realistic numerics.  The TPU backend has no f64, so
 # the on-device smoke run (NELE_TEST_PLATFORM=tpu) stays in f32 and tests
 # requiring x64 auto-skip via the `needs_x64` fixture.
-X64 = os.environ["JAX_PLATFORMS"] == "cpu"
+X64 = os.environ.get("JAX_PLATFORMS") == "cpu"
 if X64:
     jax.config.update("jax_enable_x64", True)
 
