@@ -55,7 +55,18 @@ def save_checkpoint(directory: str, epoch: int, state: TrainState,
 def load_checkpoint(path: str, template_state: TrainState
                     ) -> Tuple[TrainState, jax.Array, int, str]:
     """-> (state, rng, epoch, replay_json).  `path` may be the directory
-    (uses `latest`) or a specific .msgpack file."""
+    (uses `latest`) or a specific .msgpack file.  `load_checkpoint_full`
+    additionally returns the sidecar's `extra` dict — always the one
+    belonging to the SAME checkpoint file (a caller re-deriving the
+    sidecar path from `latest` would mix epochs when given an explicit
+    older .msgpack)."""
+    state, rng, epoch, replay_json, _ = load_checkpoint_full(
+        path, template_state)
+    return state, rng, epoch, replay_json
+
+
+def load_checkpoint_full(path: str, template_state: TrainState):
+    """-> (state, rng, epoch, replay_json, extra)."""
     if os.path.isdir(path):
         path = os.path.join(path, "latest")
     path = os.path.realpath(path)
@@ -68,7 +79,8 @@ def load_checkpoint(path: str, template_state: TrainState
     rng = jax.random.wrap_key_data(jnp.asarray(restored["rng"]))
     with open(path + ".json") as f:
         meta = json.load(f)
-    return state, rng, int(meta["epoch"]), meta.get("replay", "[]")
+    return (state, rng, int(meta["epoch"]), meta.get("replay", "[]"),
+            meta.get("extra") or {})
 
 
 def load_reference_checkpoint(path: str, state: TrainState) -> TrainState:

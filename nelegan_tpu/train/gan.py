@@ -95,15 +95,31 @@ def _band_images(enh, noise, clean, fmask):
     return stacked3, stacked2
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+def _col_weights(cols, n, dtype):
+    """Static per-column loss weights normalised to mean 1 over active
+    columns (None -> all active).  A metric column that is not being scored
+    must contribute NO loss: its targets would be fabricated constants and
+    G/D would fight over a dead output (the head-gating rationale, applied
+    per column)."""
+    if cols is None:
+        return jnp.ones((n,), dtype)
+    w = jnp.asarray(cols, dtype)
+    return w * (n / jnp.maximum(jnp.sum(w), 1.0))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "intel_cols",
+                                             "quality_cols"))
 def g_step_bands(state: TrainState, clean_band, noise_band, frames,
-                 cfg: Config = Config()):
+                 cfg: Config = Config(), intel_cols: tuple = None,
+                 quality_cols: tuple = None):
     """One generator update from precomputed band features.
 
     Band features are deterministic per (utterance, bucket length), so the
     training loop caches them across epochs — the reference recomputed the
     full featurization in every DataLoader __getitem__ (dataloader.py:30-42).
-    Returns (state, loss).
+    intel_cols / quality_cols: static 0/1 tuples selecting which score
+    columns carry loss (None = all) — columns of unscored metrics are
+    excluded on BOTH G and D sides.  Returns (state, loss).
     """
     p = cfg.train.p_power
     t = clean_band.shape[1]
@@ -112,6 +128,9 @@ def g_step_bands(state: TrainState, clean_band, noise_band, frames,
                       clean_band.dtype)
     target_q = jnp.ones((clean_band.shape[0], cfg.model.n_quality_scores),
                         clean_band.dtype)
+    wi = _col_weights(intel_cols, cfg.model.n_intel_scores, clean_band.dtype)
+    wq = _col_weights(quality_cols, cfg.model.n_quality_scores,
+                      clean_band.dtype)
 
     def loss_fn(gen_params):
         mask = Generator.from_config(cfg.model).apply(
@@ -129,8 +148,9 @@ def g_step_bands(state: TrainState, clean_band, noise_band, frames,
         score_q, dq_spec = QualityDiscriminator.from_config(cfg.model).apply(
             {"params": state.dq_params, "spectral": state.dq_spectral},
             img2, frames, update_sn=True, mutable=["spectral"])
-        loss = (jnp.mean((score - target) ** 2)
-                + cfg.train.weight_qua * jnp.mean((score_q - target_q) ** 2))
+        loss = (jnp.mean(wi * (score - target) ** 2)
+                + cfg.train.weight_qua
+                * jnp.mean(wq * (score_q - target_q) ** 2))
         return loss, (d_spec["spectral"], dq_spec["spectral"])
 
     (loss, (d_spec, dq_spec)), grads = jax.value_and_grad(
@@ -144,10 +164,11 @@ def g_step_bands(state: TrainState, clean_band, noise_band, frames,
 
 
 def g_step(state: TrainState, feats: BatchFeatures,
-           cfg: Config = Config()):
+           cfg: Config = Config(), intel_cols: tuple = None,
+           quality_cols: tuple = None):
     """BatchFeatures convenience wrapper around g_step_bands."""
     return g_step_bands(state, feats.clean_band, feats.noise_band,
-                        feats.frames, cfg)
+                        feats.frames, cfg, intel_cols, quality_cols)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -194,39 +215,48 @@ def featurize_triple(enh_padded, noise_padded, clean_padded, lengths,
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "update_intel",
-                                             "update_quality"))
+                                             "update_quality", "intel_cols",
+                                             "quality_cols"))
 def d_step_enhanced(state: TrainState, enh_padded, noise_band, clean_band,
                     frames, targets, targets_q, cfg: Config = Config(),
-                    update_intel: bool = True, update_quality: bool = True):
+                    update_intel: bool = True, update_quality: bool = True,
+                    intel_cols: tuple = None, quality_cols: tuple = None):
     """Fused D update from an enhanced-wav batch + cached clean/noise bands:
     featurize + image assembly + both head updates in ONE device program
     (each separate dispatch costs a full round trip on remote devices)."""
     eband = speech_band(enh_padded, cfg)
     img3, img2 = d_images(eband, noise_band, clean_band, frames)
     return d_step(state, img3, img2, frames, targets, targets_q, cfg,
-                  update_intel, update_quality)
+                  update_intel, update_quality, intel_cols, quality_cols)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "update_intel",
-                                             "update_quality"))
+                                             "update_quality", "intel_cols",
+                                             "quality_cols"))
 def d_step(state: TrainState, img3, img2, frames, targets, targets_q,
            cfg: Config = Config(), update_intel: bool = True,
-           update_quality: bool = True):
+           update_quality: bool = True, intel_cols: tuple = None,
+           quality_cols: tuple = None):
     """One discriminator update (both heads, separate optimisers).
     Returns (state, loss_d, loss_dq).  A head whose metrics are not being
     scored trains toward fabricated targets and distorts the generator, so
-    the training loop disables it via the update_* flags."""
+    the training loop disables it via the update_* flags; within an active
+    head, intel_cols / quality_cols (static 0/1 tuples) exclude individual
+    unscored metric columns from the loss the same way."""
+    wi = _col_weights(intel_cols, targets.shape[-1], img3.dtype)
+    wq = _col_weights(quality_cols, targets_q.shape[-1], img3.dtype)
+
     def loss_d_fn(d_params):
         score, d_spec = IntelDiscriminator.from_config(cfg.model).apply(
             {"params": d_params, "spectral": state.d_spectral},
             img3, frames, update_sn=True, mutable=["spectral"])
-        return jnp.mean((score - targets) ** 2), d_spec["spectral"]
+        return jnp.mean(wi * (score - targets) ** 2), d_spec["spectral"]
 
     def loss_dq_fn(dq_params):
         score, dq_spec = QualityDiscriminator.from_config(cfg.model).apply(
             {"params": dq_params, "spectral": state.dq_spectral},
             img2, frames, update_sn=True, mutable=["spectral"])
-        return jnp.mean((score - targets_q) ** 2), dq_spec["spectral"]
+        return jnp.mean(wq * (score - targets_q) ** 2), dq_spec["spectral"]
 
     _, opt_d, opt_dq = _optims(cfg)
     d_params, d_spec, d_opt = state.d_params, state.d_spectral, state.d_opt

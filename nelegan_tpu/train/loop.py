@@ -73,6 +73,15 @@ class Trainer:
                               ("pesq", "visqol"))
         self.intel_active = any(m in self.metric_set for m in
                                 ("siib", "haspi", "estoi"))
+        # per-column gating within an active head: a metric missing from
+        # metric_set would otherwise train its D column toward fabricated
+        # 0.5 targets while G pushes it toward 1 — two dead outputs
+        # fighting and diluting the real metrics' signal
+        self._intel_cols = tuple(
+            1 if m in self.metric_set else 0
+            for m in ("siib", "haspi", "estoi"))
+        self._qua_cols = tuple(
+            1 if m in self.metric_set else 0 for m in ("pesq", "visqol"))
         if not self.qua_active:
             cfg = dataclasses.replace(
                 cfg, train=dataclasses.replace(cfg.train, weight_qua=0.0))
@@ -108,8 +117,11 @@ class Trainer:
         self.timer = StepTimer()
         # band features are deterministic per (utterance, bucket length);
         # cache them across epochs (the reference re-featurized in every
-        # DataLoader __getitem__, dataloader.py:30-42, IMCRA included)
-        self._band_cache: Dict[tuple, tuple] = {}
+        # DataLoader __getitem__, dataloader.py:30-42, IMCRA included).
+        # LRU-bounded: ~100 KB/entry x 4096 caps host RSS at ~0.4 GB even
+        # over huge corpora
+        from nelegan_tpu.utils.lru import LRUCache
+        self._band_cache = LRUCache(max_entries=4096)
         # scores of the immutable pre-enhanced (SSDRC) corpus, once per file
         self._drc_score_cache: Dict[str, Dict[str, float]] = {}
 
@@ -119,7 +131,8 @@ class Trainer:
         if data_parallel and jax.device_count() > 1:
             from nelegan_tpu.parallel.mesh import make_mesh, replicate
             assert cfg.train.batch_size % jax.device_count() == 0, (
-                "batch_size must divide the device count for data-parallel")
+                "batch_size must be a multiple of the device count for "
+                "data-parallel")
             self.mesh = make_mesh(model_parallel=1)
             self.state = replicate(self.mesh, self.state)
 
@@ -154,25 +167,45 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def resume(self, path: Optional[str] = None):
+        from nelegan_tpu.train.checkpoint import load_checkpoint_full
         path = path or self.paths.checkpoints
-        self.state, self.key, epoch, replay_json = load_checkpoint(
-            path, self.state)
+        # load_checkpoint_full returns the sidecar belonging to the SAME
+        # file (re-deriving it from `latest` mixed epochs when resuming
+        # from an explicit older checkpoint)
+        self.state, self.key, epoch, replay_json, extra = \
+            load_checkpoint_full(path, self.state)
         self.replay.load_state_dict(replay_json)
         self.start_epoch = epoch + 1
         # restore host-side state so resumed runs continue the exact
         # sampling/replay streams and learning curves
-        import json as _json
-        meta_path = os.path.realpath(os.path.join(
-            path if os.path.isdir(path) else os.path.dirname(path),
-            "latest")) + ".json"
-        if os.path.exists(meta_path):
-            extra = _json.load(open(meta_path)).get("extra") or {}
-            if "rng_state" in extra:
-                st = extra["rng_state"]
-                self.rng.setstate((st[0], tuple(st[1]), st[2]))
-            if "history" in extra:
-                self.history = {k: list(v)
-                                for k, v in extra["history"].items()}
+
+        def _setstate(rng, st):
+            rng.setstate((st[0], tuple(st[1]), st[2]))
+
+        if "rng_state" in extra:
+            _setstate(self.rng, extra["rng_state"])
+        if "replay_rng" in extra:
+            _setstate(self.replay.rng, extra["replay_rng"])
+        if "loader_rng" in extra:
+            _setstate(self.loader.rng, extra["loader_rng"])
+        if "history" in extra:
+            self.history = {k: list(v)
+                            for k, v in extra["history"].items()}
+        # recovery re-runs the epoch after the last checkpoint; drop any
+        # log lines that epoch already appended before the failure so
+        # log.txt keeps exactly one line per epoch
+        if os.path.exists(self.paths.log_file):
+            kept = [ln for ln in open(self.paths.log_file)
+                    if self._log_epoch(ln) < self.start_epoch]
+            with open(self.paths.log_file, "w") as f:
+                f.writelines(kept)
+
+    @staticmethod
+    def _log_epoch(line: str) -> int:
+        try:
+            return int(line.rsplit("EPOCH:", 1)[1].strip())
+        except (IndexError, ValueError):
+            return -1
 
     # ------------------------------------------------------------------
     def _enhance_batches(self, index: CorpusIndex, paths: Sequence[str]):
@@ -241,9 +274,14 @@ class Trainer:
         missing = [i for i, name in enumerate(batch.names)
                    if (name, blen) not in self._band_cache]
         if missing:
-            cb, nb, fr = gan.featurize_bands(
-                batch.clean[missing], batch.noise[missing],
-                batch.lengths[missing], self.cfg)
+            # pad the miss subset to the fixed batch width: a ragged
+            # leading dim would compile a fresh featurizer per
+            # (miss-count, bucket) pair — the exact recompile churn
+            # _pad_batch_rows exists to prevent
+            args = self._pad_batch_rows(
+                (batch.clean[missing], batch.noise[missing],
+                 batch.lengths[missing]), self.cfg.train.batch_size)
+            cb, nb, fr = gan.featurize_bands(*args, self.cfg)
             cb, nb, fr = np.asarray(cb), np.asarray(nb), np.asarray(fr)
             for j, i in enumerate(missing):
                 self._band_cache[(batch.names[i], blen)] = (
@@ -276,7 +314,9 @@ class Trainer:
             args = self._pad_batch_rows(self._cached_bands(batch),
                                         self.cfg.train.batch_size)
             args = self._maybe_shard(*args)
-            self.state, loss = gan.g_step_bands(self.state, *args, self.cfg)
+            self.state, loss = gan.g_step_bands(
+                self.state, *args, self.cfg,
+                intel_cols=self._intel_cols, quality_cols=self._qua_cols)
             losses.append(loss)
         import jax.numpy as jnp
         return float(np.mean(np.asarray(jnp.stack(losses)))) \
@@ -354,26 +394,26 @@ class Trainer:
             batch = self.loader.load_group(
                 [self.train_index.clean_path_for(e.name) for e in group])
             cb, nb, frames = self._cached_bands(batch)
-            enhs = [read_wav(e.enhanced_path)[0] for e in group]
-            ep, _ = pipeline.reflect_pad_batch(enhs, batch.clean.shape[1]
-                                               - 512)
+            tlen = batch.clean.shape[1] - 512
+            # trim to the clean bucket: a pre-enhanced (SSDRC) file can be
+            # a few samples longer than its clean counterpart, which would
+            # overflow the fixed reflect-pad buffer
+            enhs = [read_wav(e.enhanced_path)[0][:tlen] for e in group]
+            ep, _ = pipeline.reflect_pad_batch(enhs, tlen)
             targets = np.array([e.scores[:3] for e in group], np.float32)
             targets_q = np.array([e.scores[3:5] for e in group], np.float32)
             # pad ragged groups to the full batch size by repeating rows:
             # every d_step_enhanced call then shares ONE compiled shape per
             # bucket length (remote compiles cost 10-30 s per new shape)
-            pad = bs - len(group)
-            if pad:
-                rep = lambda a: np.concatenate(
-                    [np.asarray(a), np.repeat(np.asarray(a)[-1:], pad, 0)], 0)
-                ep, nb, cb = rep(ep), rep(nb), rep(cb)
-                frames, targets, targets_q = (rep(frames), rep(targets),
-                                              rep(targets_q))
+            ep, nb, cb, frames, targets, targets_q = self._pad_batch_rows(
+                (ep, nb, cb, frames, targets, targets_q), bs)
             args = self._maybe_shard(ep, nb, cb, frames, targets, targets_q)
             self.state, ld, lq = gan.d_step_enhanced(
                 self.state, *args, self.cfg,
                 update_intel=self.intel_active,
-                update_quality=self.qua_active)
+                update_quality=self.qua_active,
+                intel_cols=self._intel_cols,
+                quality_cols=self._qua_cols)
             losses.append((ld, lq))
         if not losses:
             return []
@@ -451,10 +491,13 @@ class Trainer:
         # only G/D weights mid-epoch, train_nele.py:272-277; saving after
         # the D passes makes resume exact, including the replay list)
         with self.timer.phase("checkpoint"):
-            save_checkpoint(self.paths.checkpoints, epoch, self.state,
-                            self.key, self.replay.state_dict(),
-                            extra={"rng_state": list(self.rng.getstate()),
-                                   "history": self.history})
+            save_checkpoint(
+                self.paths.checkpoints, epoch, self.state, self.key,
+                self.replay.state_dict(),
+                extra={"rng_state": list(self.rng.getstate()),
+                       "replay_rng": list(self.replay.rng.getstate()),
+                       "loader_rng": list(self.loader.rng.getstate()),
+                       "history": self.history})
 
         tmp = os.path.join(self.paths.output, "temp")
         if os.path.isdir(tmp):
@@ -464,7 +507,7 @@ class Trainer:
         return means
 
     def run(self, epochs: Optional[int] = None, verbose_timing: bool = False):
-        end = (epochs or self.cfg.train.gan_epochs) + 1
+        end = (self.cfg.train.gan_epochs if epochs is None else epochs) + 1
         for epoch in range(self.start_epoch, end):
             before = dict(self.timer._total)
             means = self.run_epoch(epoch)
