@@ -157,8 +157,13 @@ void wavio_read_batch(const char** paths, int32_t n_files, float* out,
   if (n_threads < 1) n_threads = 1;
   if (n_threads > 64) n_threads = 64;
   pthread_t tids[64];
-  for (int t = 0; t < n_threads; t++) pthread_create(&tids[t], nullptr, worker, &job);
-  for (int t = 0; t < n_threads; t++) pthread_join(tids[t], nullptr);
+  int created = 0;
+  for (int t = 0; t < n_threads; t++) {
+    if (pthread_create(&tids[created], nullptr, worker, &job) != 0) break;
+    created++;  // join only threads that exist (EAGAIN under pressure)
+  }
+  if (created == 0) worker(&job);  // degrade to inline decode
+  for (int t = 0; t < created; t++) pthread_join(tids[t], nullptr);
 }
 
 // PCM16 writer (mono), matching soundfile's PCM_16 output

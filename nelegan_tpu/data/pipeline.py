@@ -23,11 +23,13 @@ N_FFT = 512
 
 
 def get_filepaths(directory: str) -> List[str]:
-    """All .wav paths under a tree (reference audio_util.py:402-419)."""
+    """All .wav paths under a tree (reference audio_util.py:402-419).
+    Deliberate deviation: the reference substring-matches `'.wav' in fn`,
+    which also picks up `x.wav.bak` backups; we require the extension."""
     out = []
     for root, _, files in os.walk(directory):
         for fn in files:
-            if ".wav" in fn:
+            if fn.endswith(".wav"):
                 out.append(os.path.join(root, fn))
     return out
 

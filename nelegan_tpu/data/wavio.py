@@ -131,6 +131,10 @@ def read_wav_batch(paths: Sequence[str], max_len: int,
             arr, b, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             max_len, lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             rates.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), n_threads)
+        bad = np.nonzero(lengths < 0)[0]
+        if bad.size:  # match the raising single-file / numpy-fallback paths
+            raise IOError("cannot decode wav(s): "
+                          + ", ".join(paths[i] for i in bad[:4]))
     else:
         for i, p in enumerate(paths):
             w, r = _read_numpy(p)

@@ -66,7 +66,10 @@ def asl_p56(x: jnp.ndarray, fs: int = 16000, nbits: int = 16):
     cdb = 20.0 * jnp.log10(c + eps)
     delta = adb - cdb
 
-    # first j >= 1 with a[j] != 0 and Delta[j] <= margin
+    # first j >= 1 with a[j] != 0 and Delta[j] <= margin.  The a != 0 term
+    # is provably always true here — and in the reference too (asl_P56.py:
+    # a starts at -1, only increments, then a += 2, so min(a) == 1); it is
+    # kept verbatim for line-by-line parity with the reference's dead check.
     elig = (jnp.arange(thres_no) >= 1) & (a != 0) & (delta <= margin)
     j = jnp.argmax(elig)
     found = jnp.any(elig) & ~no_activity & (delta[0] >= margin)

@@ -34,22 +34,43 @@ def hann_periodic(n: int, dtype=np.float64) -> np.ndarray:
     return w.astype(dtype)
 
 
+def ola_norm_half_overlap(n_fft: int = 512) -> np.ndarray:
+    """Interior squared-window OLA normalisation profile [n_fft//2] for
+    hop = n_fft/2: every emitted block sees w^2[n] + w^2[n + hop].  Shared
+    by the offline OLA (pipeline.istft_batch_tail_truncated) and the
+    streaming enhancer so their bit-exact parity has one source of truth."""
+    w2 = np.asarray(hann_periodic(n_fft)) ** 2
+    return w2[:n_fft // 2] + w2[n_fft // 2:]
+
+
 def num_frames(n_samples: int, n_fft: int = 512, hop: int = 256,
                center: bool = True) -> int:
     padded = n_samples + (n_fft if center else 0)
     return 1 + (padded - n_fft) // hop
 
 
+@functools.lru_cache(maxsize=None)
+def _reflect_indices(n: int, pad: int) -> np.ndarray:
+    """Gather indices for numpy-style reflect padding of a length-n axis.
+    Unlike jnp.pad(mode='reflect'), numpy/librosa allow pad >= n via
+    repeated reflection; shapes are static so the index table is free."""
+    idx = np.arange(-pad, n + pad)
+    period = max(2 * (n - 1), 1)
+    idx = np.abs(idx) % period
+    return np.where(idx >= n, period - idx, idx)
+
+
 def frame_signal(x: jnp.ndarray, n_fft: int, hop: int,
                  center: bool = True) -> jnp.ndarray:
     """Slice ``x [..., n]`` into overlapping frames ``[..., T, n_fft]``.
 
-    With ``center=True`` the signal is reflect-padded by ``n_fft//2`` on both
-    sides first (librosa's 'reflect' == jnp.pad mode='reflect').
+    With ``center=True`` the signal is reflect-padded by ``n_fft//2`` on
+    both sides first (numpy-style repeated reflection, so signals shorter
+    than the pad work exactly like librosa's np.pad).
     """
     if center:
         pad = n_fft // 2
-        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)], mode="reflect")
+        x = x[..., _reflect_indices(x.shape[-1], pad)]
     n = x.shape[-1]
     t = 1 + (n - n_fft) // hop
     # Static gather: index matrix [T, n_fft].
@@ -97,10 +118,18 @@ def istft(spec: jnp.ndarray, n_fft: int = 512, hop: int = 256,
       centered case (librosa default), or ``length`` if given.
     """
     frames = jnp.fft.irfft(jnp.swapaxes(spec, -1, -2), n=n_fft, axis=-1)
+    # synthesis window mirrors the analysis window, including the librosa
+    # zero-padded-center case for win_length < n_fft
+    if win_length != n_fft:
+        w = hann_periodic(win_length)
+        lpad = (n_fft - win_length) // 2
+        win_np = np.zeros(n_fft)
+        win_np[lpad:lpad + win_length] = w
+    else:
+        win_np = hann_periodic(n_fft)
     # match the window dtype to the frames: a float64 numpy window would
     # silently promote f32 audio to f64 under x64
-    window = jnp.asarray(hann_periodic(win_length if win_length == n_fft
-                                       else n_fft), dtype=frames.dtype)
+    window = jnp.asarray(win_np, dtype=frames.dtype)
     frames = frames * window                               # [..., T, n_fft]
     t = frames.shape[-2]
     full = n_fft + hop * (t - 1)
@@ -114,7 +143,7 @@ def istft(spec: jnp.ndarray, n_fft: int = 512, hop: int = 256,
     # Squared-window normalization (librosa window_sumsquare), computed
     # statically in numpy since it depends only on shapes.
     wsq = np.zeros(full)
-    w2 = np.asarray(hann_periodic(n_fft)) ** 2
+    w2 = np.asarray(win_np) ** 2
     for i in range(t):
         wsq[i * hop:i * hop + n_fft] += w2
     tiny = np.finfo(np.float32).tiny

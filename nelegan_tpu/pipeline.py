@@ -128,7 +128,10 @@ def beta2_energy_norm(clean_band: jnp.ndarray, mask: jnp.ndarray,
     clean_power = (clean_band ** inv_p) * fmask[..., None]
     num = jnp.sum(clean_power, axis=(1, 2))
     den = jnp.sum(mask * clean_power, axis=(1, 2))
-    return (num / den)[:, None, None]
+    # an all-silent utterance has num == den == 0: its 0/0 would NaN the
+    # whole row downstream; unity gain is the sensible degenerate value
+    return jnp.where(den > 0.0, num / jnp.where(den > 0.0, den, 1.0),
+                     1.0)[:, None, None]
 
 
 @jax.jit
@@ -155,8 +158,8 @@ def istft_batch_tail_truncated(spec: jnp.ndarray,
     b_shift = jnp.concatenate([jnp.zeros_like(b[:, :1]), b[:, :-1]], axis=1)
     ola = (a + b_shift).reshape(fr.shape[0], t * HOP)
 
-    w2 = np.asarray(hann_periodic(N_FFT)) ** 2
-    wsq = jnp.asarray(w2[:HOP] + w2[HOP:], ola.dtype)  # 256-periodic norm
+    from nelegan_tpu.dsp.stft import ola_norm_half_overlap
+    wsq = jnp.asarray(ola_norm_half_overlap(N_FFT), ola.dtype)
     y = ola / jnp.tile(wsq, t)
     # drop the leading half-window (reflect padding) and zero the tail
     y = y[:, HOP:]
@@ -206,5 +209,9 @@ def enhance_batch(gen_params, feats: BatchFeatures,
     out_len = HOP * (feats.frames - 1)
     denom = jnp.sqrt(jnp.sum(wav * wav, axis=-1)
                      / jnp.maximum(out_len, 1).astype(wav.dtype))
+    # an all-zero row (sub-hop clip or silent input) has denom == 0; keep
+    # it at zero rather than emitting a NaN row that poisons downstream
+    # metric programs
+    denom = jnp.where(denom > 0.0, denom, 1.0)
     wav = wav / denom[:, None] * target_rms
     return wav, alpha2, out_len

@@ -149,10 +149,11 @@ def _generator_chunk(params, gen: Generator, state: StreamState, clean_band,
 
 @functools.lru_cache(maxsize=None)
 def _ola_norm() -> np.ndarray:
-    """Interior squared-window OLA normalisation profile [hop]: with
-    hop = n_fft/2 every emitted block sees w^2[n] + w^2[n + hop]."""
-    w2 = hann_periodic(N_FFT) ** 2
-    return w2[:HOP] + w2[HOP:]
+    """Interior squared-window OLA normalisation profile [hop] — shared
+    with the offline OLA path (one source of truth for the bit-exact
+    streaming/offline parity)."""
+    from nelegan_tpu.dsp.stft import ola_norm_half_overlap
+    return ola_norm_half_overlap(N_FFT)
 
 
 @functools.partial(jax.jit, static_argnames=("gen", "p_power", "imcra_cfg"))
@@ -306,7 +307,14 @@ class StreamingEnhancer:
             self._buf_c = np.concatenate([self._buf_c, clean])
             self._buf_n = np.concatenate([self._buf_n, noise])
         # slice complete frames off the padded stream
-        while self._started and len(self._buf_c) >= N_FFT:
+        if self._started:
+            self._slice_frames()
+
+    def _slice_frames(self) -> None:
+        """Move complete N_FFT frames from the padded stream buffers into
+        the pending-frame queues (shared by mid-stream ingest and flush, so
+        end-of-stream framing can never diverge from mid-stream framing)."""
+        while len(self._buf_c) >= N_FFT:
             self._frames_c.append(self._buf_c[:N_FFT].copy())
             self._frames_n.append(self._buf_n[:N_FFT].copy())
             self._buf_c = self._buf_c[HOP:]
@@ -366,11 +374,7 @@ class StreamingEnhancer:
             sfx_n = self._tail_n[-2:-(HOP + 2):-1]
             self._buf_c = np.concatenate([self._buf_c, sfx_c])
             self._buf_n = np.concatenate([self._buf_n, sfx_n])
-        while len(self._buf_c) >= N_FFT:
-            self._frames_c.append(self._buf_c[:N_FFT].copy())
-            self._frames_n.append(self._buf_n[:N_FFT].copy())
-            self._buf_c = self._buf_c[HOP:]
-            self._buf_n = self._buf_n[HOP:]
+        self._slice_frames()
         outs = self._drain(all_pending=True)
         return (np.concatenate(outs) if outs
                 else np.zeros((0,), self._dtype))

@@ -61,3 +61,19 @@ def test_bucketed_loader():
     assert b.clean.shape[1] % 4096 == 512  # bucket + n_fft
     assert b.lengths[0] == 33536
     assert b.names == ["f_hvd_100#Babble#-11.wav"]
+
+
+def test_batch_decode_failure_raises(tmp_path):
+    """A corrupt wav in a batch raises like the single-file path instead of
+    silently producing a zero 'utterance' with length -1."""
+    import numpy as np
+    import pytest
+    from nelegan_tpu.data import wavio
+    if not wavio._load_lib():
+        pytest.skip("native wavio unavailable")
+    good = tmp_path / "good.wav"
+    wavio.write_wav_pcm16(str(good), 0.01 * np.ones(1000, np.float32))
+    bad = tmp_path / "bad.wav"
+    bad.write_bytes(b"this is not a RIFF file at all..........")
+    with pytest.raises(IOError):
+        wavio.read_wav_batch([str(good), str(bad)], 2000)

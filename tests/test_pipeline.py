@@ -83,3 +83,30 @@ def test_enhance_batch_matches_single(gen_params):
                                    rtol=1e-3, atol=2e-5)
         tail = np.asarray(wavs[i, m:])
         assert tail.size == 0 or np.abs(tail).max() == 0.0
+
+
+def test_enhance_batch_silent_row_is_finite():
+    """An all-zero utterance row must come out zero, not NaN (the RMS
+    denominator is exactly 0 there)."""
+    import jax
+    import numpy as np
+    from nelegan_tpu.config import Config
+    from nelegan_tpu.models.generator import Generator
+    from nelegan_tpu import pipeline
+    cfg = Config()
+    rng = np.random.RandomState(0)
+    wavs = [(0.03 * rng.randn(8192)).astype(np.float32),
+            np.zeros(8192, np.float32)]
+    noises = [(0.01 * rng.randn(8192)).astype(np.float32),
+              np.zeros(8192, np.float32)]
+    cp, lens = pipeline.reflect_pad_batch(wavs)
+    npd, _ = pipeline.reflect_pad_batch(noises)
+    params = Generator().init(
+        jax.random.PRNGKey(0), np.zeros((1, 8, 64), np.float32),
+        np.zeros((1, 8, 64), np.float32))["params"]
+    feats = pipeline.featurize_batch(cp, npd, lens, cfg.train.p_power)
+    wav, _, _ = pipeline.enhance_batch(params, feats, cfg.train.p_power,
+                                       cfg.train.target_rms)
+    out = np.asarray(wav)
+    assert np.isfinite(out).all()
+    assert np.abs(out[1]).max() == 0.0

@@ -56,3 +56,36 @@ def test_batched():
     assert spec.shape == (3, 257, 40)
     single = np.asarray(stft(x[1]))
     np.testing.assert_allclose(spec[1], single, rtol=1e-12, atol=0)
+
+
+def test_stft_short_signal_reflect():
+    """Signals shorter than n_fft//2 pad by repeated reflection like
+    numpy/librosa instead of crashing (jnp.pad mode='reflect' rejects
+    pad >= n)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from nelegan_tpu.dsp.stft import stft, frame_signal
+    x = np.sin(np.arange(200) * 0.05).astype(np.float32)
+    spec = np.asarray(stft(jnp.asarray(x)))
+    assert np.isfinite(spec).all() and spec.shape[0] == 257
+    # framing equals numpy's reflect-pad framing
+    ref = np.pad(x, 256, mode="reflect")
+    got = np.asarray(frame_signal(jnp.asarray(x), 512, 256))
+    want = np.stack([ref[i * 256:i * 256 + 512]
+                     for i in range(1 + (len(ref) - 512) // 256)])
+    np.testing.assert_allclose(got, want, rtol=0, atol=0)
+
+
+def test_istft_win_length_round_trip():
+    """istft honours win_length < n_fft (zero-padded centered window): the
+    weighted-OLA inversion is exact wherever the window power is nonzero."""
+    import numpy as np
+    import jax.numpy as jnp
+    from nelegan_tpu.dsp.stft import stft, istft
+    rng = np.random.RandomState(0)
+    x = rng.randn(4096).astype(np.float64)
+    spec = stft(jnp.asarray(x), win_length=400)
+    y = np.asarray(istft(spec, win_length=400, length=len(x)))
+    # interior samples (away from the centering pad edges) reconstruct
+    interior = slice(512, len(x) - 512)
+    np.testing.assert_allclose(y[interior], x[interior], rtol=0, atol=1e-8)
