@@ -1,9 +1,13 @@
 """Metric-normalization data collector — the `python intel.py` __main__
 equivalent (reference: intel.py:162-274): scores a sample of training
 utterances before/after pre-enhancement, with and without reverberation, and
-saves the raw score distributions as .npy files under ./metric_norm/.  The
-distributions are used offline to fit the logistic calibration constants
-(config.MetricCalibration).
+saves the score distributions as .npy files under ./metric_norm/.
+
+Like the reference (which collects through the mapped *_Wrapper_harvard
+functions, intel.py:225-238), the default saves CALIBRATED scores — useful
+for checking that the current logistic constants spread the corpus over
+[0, 1].  To refit the constants themselves (config.MetricCalibration),
+pass --raw: fitting (a, b) needs unmapped scores.
 
     python -m nelegan_tpu.cli.collect_norm \
         --clean .../Train/Clean --noise .../Train/Noise \
@@ -28,6 +32,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num", type=int, default=1500)
     p.add_argument("--out", default="./metric_norm")
     p.add_argument("--metrics", default="estoi,haspi,siib")
+    p.add_argument("--raw", action="store_true",
+                   help="save unmapped scores (for refitting the logistic "
+                        "calibration constants)")
     p.add_argument("--seed", type=int, default=666)
     p.add_argument("--tau", type=int, default=32)
     p.add_argument("--platform", default=None)
@@ -46,10 +53,10 @@ def main(argv=None):
     from nelegan_tpu.data.wavio import read_wav
     from nelegan_tpu.dsp.reverb import fir_filter, direct_path_rir
     from nelegan_tpu.metrics import estoi, siib, haspi_v2
-    from nelegan_tpu.metrics.calibrate import make_mappers
+    from nelegan_tpu.metrics.calibrate import make_mappers_np
 
     metrics = tuple(m.strip() for m in args.metrics.split(",") if m.strip())
-    mappers = make_mappers()
+    mappers = make_mappers_np()  # host-side maps: no device round trips
 
     def score(m, x, y):
         if m == "estoi":
@@ -60,7 +67,7 @@ def main(argv=None):
             raw = float(haspi_v2(x, 16000, y, 16000)[0])
         else:
             raise ValueError(m)
-        return float(mappers[m](raw))
+        return raw if args.raw else float(mappers[m](raw))
 
     files = sorted(get_filepaths(args.clean))
     random.Random(args.seed).shuffle(files)

@@ -48,7 +48,7 @@ def main(argv=None):
     from nelegan_tpu.data.wavio import read_wav
     from nelegan_tpu.dsp.reverb import (fir_filter, direct_path_rir,
                                         clip_overflow)
-    from nelegan_tpu.metrics import score_pair
+    from nelegan_tpu.metrics import score_batch
     from nelegan_tpu.train import gan
     from nelegan_tpu.train.checkpoint import (load_checkpoint,
                                               load_reference_checkpoint)
@@ -69,8 +69,13 @@ def main(argv=None):
     rms = lambda v: np.sqrt(np.mean(v ** 2))
 
     for rev in (args.rir or ["NO_rev"]):
-        accum = {m: [] for m in metrics}
         rir = None if rev == "NO_rev" else read_wav(rev)[0]
+        if rir is not None:
+            # RIR-derived quantities are fixed per condition: hoist out of
+            # the per-utterance loop
+            b = int(np.argmax(rir))
+            h_direct = direct_path_rir(rir, args.tau)
+        refs, mixes = [], []
         for batch in loader():
             feats = pipeline.featurize_batch(batch.clean, batch.noise,
                                              batch.lengths,
@@ -89,8 +94,6 @@ def main(argv=None):
                     mixed = clip_overflow(enh + noise)
                     clean_a = clean
                 else:
-                    b = int(np.argmax(rir))
-                    h_direct = direct_path_rir(rir, args.tau)
                     direct = np.asarray(fir_filter(
                         jnp.asarray(h_direct), jnp.asarray(clean)))
                     direct = clip_overflow(direct / rms(direct) * 0.03)
@@ -99,13 +102,16 @@ def main(argv=None):
                         jnp.asarray(rir), jnp.asarray(enh)))
                     rev_enh = clip_overflow(rev_enh / rms(rev_enh) * 0.03)
                     mixed = clip_overflow(rev_enh[b:] + noise[b:])
-                s = score_pair(clean_a, np.zeros_like(mixed), mixed,
-                               cfg.train.fs, norm=False, metrics=metrics)
-                for k, v in s.items():
-                    accum[k].append(v)
+                refs.append(np.asarray(clean_a))
+                mixes.append(np.asarray(mixed))
+        # one async-dispatch scoring pass per condition (score_pair would
+        # cost a device round trip per score through the remote tunnel)
+        scores = score_batch(refs, [np.zeros_like(m) for m in mixes], mixes,
+                             cfg.train.fs, norm=False, metrics=metrics)
         print(rev)
-        print("  " + ", ".join(f"{m.upper()} is {np.mean(v):.3f}"
-                               for m, v in accum.items()))
+        print("  " + ", ".join(
+            f"{m.upper()} is {np.mean([s[m] for s in scores]):.3f}"
+            for m in metrics))
         print("=======")
 
 

@@ -39,8 +39,7 @@ def main(argv=None):
 
     if not (args.checkpoint or args.torch_checkpoint):
         raise SystemExit("need --checkpoint or --torch-checkpoint")
-    import os as _os
-    if not _os.path.isdir(args.test_clean):
+    if not os.path.isdir(args.test_clean):
         raise SystemExit(f"--test-clean {args.test_clean} is not a directory")
 
     from nelegan_tpu.utils.cache import enable_compilation_cache
@@ -52,7 +51,7 @@ def main(argv=None):
     from nelegan_tpu.data.pipeline import (BucketedLoader, CorpusIndex,
                                            get_filepaths)
     from nelegan_tpu.data.wavio import read_wav, write_wav_pcm16
-    from nelegan_tpu.metrics import score_pair
+    from nelegan_tpu.metrics import score_batch
     from nelegan_tpu.train import gan
     from nelegan_tpu.train.checkpoint import (load_checkpoint,
                                               load_reference_checkpoint)
@@ -90,19 +89,21 @@ def main(argv=None):
         paths = [p for p in written if subset in p]
         if not paths:
             continue
-        accum = {m: [] for m in metrics}
+        cleans, noises, enhs = [], [], []
         for p in paths:
             name = os.path.basename(p).split("@")[0] + ".wav"
-            clean, _ = read_wav(os.path.join(args.test_clean, name))
-            noise, _ = read_wav(os.path.join(args.test_noise, name))
-            enh, _ = read_wav(p)
-            s = score_pair(clean, noise, enh, cfg.train.fs, norm=False,
-                           metrics=metrics)
-            for m, v in s.items():
-                accum[m].append(v)
+            cleans.append(read_wav(os.path.join(args.test_clean, name))[0])
+            noises.append(read_wav(os.path.join(args.test_noise, name))[0])
+            enhs.append(read_wav(p)[0])
+        # score_batch dispatches every metric program asynchronously and
+        # fetches once — per-pair score_pair costs a device round trip per
+        # score through the remote tunnel
+        scores = score_batch(cleans, noises, enhs, cfg.train.fs, norm=False,
+                             metrics=metrics)
         print(f"{subset}:")
-        print("  " + ", ".join(f"{m.upper()} is {np.mean(v):.3f}"
-                               for m, v in accum.items()))
+        print("  " + ", ".join(
+            f"{m.upper()} is {np.mean([s[m] for s in scores]):.3f}"
+            for m in metrics))
         print("======")
 
 

@@ -57,14 +57,18 @@ def main(argv=None):
     else:
         raise SystemExit("need --checkpoint or --torch-checkpoint")
 
+    from nelegan_tpu.streaming import HOP
     clean, fs = read_wav(args.clean)
     noise, _ = read_wav(args.noise)
+    assert fs == cfg.train.fs, (
+        f"stream expects {cfg.train.fs} Hz input, got {fs} Hz "
+        f"(the generator/IMCRA stack and the 32 ms latency assume 16 kHz)")
     n = min(len(clean), len(noise))
     clean, noise = clean[:n], noise[:n]
     chunk = max(1, int(fs * args.chunk_ms / 1000.0))
     gen = Generator.from_config(cfg.model)
     se = StreamingEnhancer(state.gen_params, gen,
-                           chunk_frames=max(1, chunk // 256))
+                           chunk_frames=max(1, chunk // HOP))
 
     # warm the two XLA programs so RTF measures steady-state streaming
     se.process(np.zeros(8192, np.float32), np.zeros(8192, np.float32))
@@ -95,6 +99,9 @@ def main(argv=None):
         cp = cb ** (1.0 / p)
         num = jnp.cumsum(jnp.sum(cp, axis=-1))
         den = jnp.cumsum(jnp.sum(mask * cp, axis=-1))
+        # same zero guard as streaming_step: leading digital silence has
+        # den == 0 and would NaN the parity report
+        den = jnp.maximum(den, 1e-30)
         ref = np.asarray(resynthesize(mask * (num / den)[:, None], mag,
                                       phase))
         m = min(len(ref), len(enh))

@@ -35,8 +35,12 @@ def _spectral_weight(module: nn.Module, wmat: jnp.ndarray, update: bool):
                                           if module.has_rng("params")
                                           else jax.random.PRNGKey(0),
                                           (out_dim,), wmat.dtype)))
+    # v starts one half power-iteration from u (NOT zeros: an eval-mode
+    # forward before any training step computes sigma = u @ (W @ v), and a
+    # zero v would divide the weight by zero — torch's random init also
+    # stays finite on the eval-before-train path)
     v_var = module.variable(
-        "spectral", "v", lambda: jnp.zeros((in_dim,), wmat.dtype))
+        "spectral", "v", lambda: _l2norm(wmat.T @ u_var.value))
 
     u, v = u_var.value, v_var.value
     if update:

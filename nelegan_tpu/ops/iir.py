@@ -96,8 +96,11 @@ def one_pole_cascade(x: jnp.ndarray, a, order: int, axis: int = -1,
     signals on the last axis.
     """
     if blocked is None:
+        # the blocked Toeplitz form assumes a scalar pole (its [128, 128]
+        # power matrix would silently mix per-channel poles); broadcastable
+        # `a` stays on the associative-scan path
         blocked = (axis in (-1, x.ndim - 1) and x.shape[-1] >= 4096
-                   and not jnp.iscomplexobj(x))
+                   and not jnp.iscomplexobj(x) and jnp.ndim(a) == 0)
     y = x
     for _ in range(order):
         y = one_pole_blocked(y, a) if blocked else one_pole(y, a, axis=axis)
@@ -190,7 +193,10 @@ def exp_sum_ir(lams, weights, n: int, dtype=jnp.float32) -> jnp.ndarray:
     h = jnp.zeros(n, dtype)
     for lam, w in zip(lams, weights):
         lam = float(np.real_if_close(lam))
-        h = h + w * jnp.exp(k * jnp.log(jnp.asarray(abs(lam), dtype))) * (
+        # clamp like one_pole_ir: log(0) = -inf would make h[0] = 0 * -inf
+        # = NaN for a zero pole instead of the correct [w, 0, 0, ...]
+        mag = jnp.asarray(max(abs(lam), 1e-30), dtype)
+        h = h + w * jnp.exp(k * jnp.log(mag)) * (
             1.0 if lam >= 0 else (1.0 - 2.0 * (jnp.arange(n) % 2)))
     return h
 
