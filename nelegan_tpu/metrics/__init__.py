@@ -169,6 +169,7 @@ def score_corpus(clean_list, noise_list, enhanced_list, fs: int = 16000,
                 chunk = idxs[-width:]  # full-width tail (recompute ok)
             chunked.append((blen, chunk))
 
+    pending: list = []
     for blen, idxs in chunked:
         bsz = len(idxs)
         # quantise the batch width to a power of two (and the data-axis
@@ -283,12 +284,19 @@ def score_corpus(clean_list, noise_list, enhanced_list, fs: int = 16000,
             # the device tunnel (was the dominant SIIB cost once the KLT
             # was cached)
             from nelegan_tpu.metrics.siib import _vad_mask, HOP as SIIB_HOP
+            # cap the tiled length: buffers are sized to the chunk-wide max,
+            # so one mostly-silent long utterance (m_fac up to 100) would
+            # inflate EVERY row's buffers and can exhaust HBM; ~131 s of
+            # tiled signal comfortably exceeds the 20 s active-speech goal
+            # for any input with >= 1.6% speech activity
+            max_tiled = 2_097_152
             sv = np.zeros(alloc, np.int32)
             for j in range(alloc):
                 nvj = int(nv[j])
                 active = _vad_mask(ref[j, :nvj]).sum() / (fs / SIIB_HOP)
                 m_fac = (max(int(np.floor(25.0 / max(active, 0.25))), 1)
                          if active < 20 else 1)
+                m_fac = min(m_fac, max(max_tiled // max(nvj, 1), 1))
                 sv[j] = m_fac * nvj
             sb = -(-int(sv.max()) // bucket_quant) * bucket_quant
             sv_j = jnp.asarray(sv)
@@ -310,6 +318,12 @@ def score_corpus(clean_list, noise_list, enhanced_list, fs: int = 16000,
                 out["siib"] = jax.vmap(siib_gauss_16k_with_klt)(
                     xs_j, ys_j, sv_j, u)
 
+        pending.append((idxs, out))
+
+    # fetch AFTER every chunk has been dispatched: a per-chunk fetch would
+    # block the host (next chunk's VAD/packing/upload) on the device and
+    # the device on the host, serialising the pipeline through the tunnel
+    for idxs, out in pending:
         fetched = {k: np.asarray(v) for k, v in out.items()}
         for j, i in enumerate(idxs):
             for m in metrics:

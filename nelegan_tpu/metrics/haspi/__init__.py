@@ -28,14 +28,19 @@ from nelegan_tpu.metrics.haspi import chains
 
 
 def _rms_normalize_one(x, n_valid=None):
+    # the rms guard keeps an all-zero / zero-length signal at zero instead
+    # of 0/0 NaN (one corrupt silent file would otherwise NaN the whole
+    # scoring chunk and the discriminator targets built from it)
+    def _div(sig, rms):
+        return sig / jnp.where(rms > 0.0, rms, 1.0)[..., None]
+
     if n_valid is None:
         n = x.shape[-1]
-        return x / jnp.sqrt(jnp.sum(x * x, -1) / n)[..., None]
+        return _div(x, jnp.sqrt(jnp.sum(x * x, -1) / n))
     # masked rms over the valid prefix; also silence any pad-tail content
     mask = (jnp.arange(x.shape[-1]) < n_valid).astype(x.dtype)
-    nv = n_valid.astype(x.dtype) if hasattr(n_valid, "astype") else float(
-        n_valid)
-    return x * mask / jnp.sqrt(jnp.sum(x * x * mask, -1) / nv)[..., None]
+    nv = jnp.maximum(jnp.asarray(n_valid).astype(x.dtype), 1.0)
+    return _div(x * mask, jnp.sqrt(jnp.sum(x * x * mask, -1) / nv))
 
 
 def _rms_normalize(x, y, n_valid=None):

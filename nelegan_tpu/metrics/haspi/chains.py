@@ -114,7 +114,7 @@ def melcor(x: jnp.ndarray, y: jnp.ndarray, thr: float = 2.5):
     cepm = jnp.asarray(_cep_basis(nbands, nbasis), x.dtype)
     xsum = 20.0 * jnp.log10(jnp.sum(10.0 ** (x / 20.0), axis=0) / nbands)
     sel = (xsum > thr).astype(x.dtype)                     # [nseg]
-    nsel = jnp.sum(sel)
+    nsel = jnp.maximum(jnp.sum(sel), 1.0)  # all-quiet: avoid 0/0 NaN
 
     xcep = cepm.T @ (x * sel)                              # [nbasis, nseg]
     ycep = cepm.T @ (y * sel)
@@ -308,7 +308,11 @@ def ave_covary2(sigcov: jnp.ndarray, sig_msx: jnp.ndarray, thr: float,
     fsum = jnp.einsum("kc,cs,cs->k", fsync_j, weight, sigcov)
     ssum = jnp.einsum("kc,cs->k", fsync_j, weight)
     avecov = jnp.where(wsum < 1.0, 0.0, csum / jnp.maximum(wsum, 1.0))
-    return avecov, fsum / ssum
+    # same quiet-reference guard for the sync-weighted averages: ssum == 0
+    # exactly when wsum == 0, where avecov is already forced to 0
+    syncov = jnp.where(ssum > 0.0, fsum / jnp.where(ssum > 0.0, ssum, 1.0),
+                       0.0)
+    return avecov, syncov
 
 
 def spect_diff(xsl: jnp.ndarray, ysl: jnp.ndarray):
@@ -375,7 +379,9 @@ def cep_coef(xdb: jnp.ndarray, ydb: jnp.ndarray, thr_cep: float = 2.5,
     xlin = 10.0 ** (xdb / 20.0)
     xsum = 20.0 * jnp.log10(jnp.sum(xlin, -1) / nbands)
     valid = xsum > thr_cep                                  # [nsub]
-    count = jnp.sum(valid)
+    # all-quiet signals have zero valid rows; the max(1) keeps the mean
+    # subtractions (here and in mod_filt_corr) finite instead of 0/0 NaN
+    count = jnp.maximum(jnp.sum(valid), 1)
     # stable compaction: valid rows to the front, order preserved
     order = jnp.argsort(~valid, stable=True)
     xv = xdb[order]

@@ -36,7 +36,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from nelegan_tpu.ops.iir import one_pole, one_pole_cascade, biquad, fir
+from nelegan_tpu.ops.iir import one_pole, biquad, fir
 
 FSAMP = 24000
 NCHAN = 32
@@ -108,29 +108,12 @@ def _carrier(n: int, cf, dtype):
     return jnp.cos(w * t), -jnp.sin(w * t)
 
 
-def _gammatone_filter(x, a, a1, a5):
-    t = fir(x, jnp.stack([jnp.ones_like(a1), a1, a5]))
-    return one_pole_cascade(t, a, 4)
-
-
-def gammatone_env(x: jnp.ndarray, bw, cf) -> jnp.ndarray:
-    """Envelope of one gammatone channel (reference eb_GammatoneEnv2)."""
-    a, a1, a5, gain = _gammatone_coeffs(bw, cf, x.dtype)
-    cosc, sinc = _carrier(x.shape[-1], cf, x.dtype)
-    ureal = _gammatone_filter(x * cosc, a, a1, a5)
-    uimag = _gammatone_filter(x * sinc, a, a1, a5)
-    return gain * jnp.sqrt(ureal * ureal + uimag * uimag)
-
-
-def gammatone_bm(x: jnp.ndarray, bw, cf):
-    """(envelope, BM motion) of one channel (reference eb_GammatoneBM2)."""
-    a, a1, a5, gain = _gammatone_coeffs(bw, cf, x.dtype)
-    cosc, sinc = _carrier(x.shape[-1], cf, x.dtype)
-    ureal = _gammatone_filter(x * cosc, a, a1, a5)
-    uimag = _gammatone_filter(x * sinc, a, a1, a5)
-    env = gain * jnp.sqrt(ureal * ureal + uimag * uimag)
-    bm = gain * (ureal * cosc + uimag * sinc)
-    return env, bm
+# (The scan-form per-channel helpers — gammatone_env/bm,
+# env_compress_bm, env_sl2, ihc_adapt — were removed: the FFT-form
+# _ear_core below is the single authoritative implementation, and two
+# copies of the same filter constants invited silent divergence.
+# git history holds the scan forms; ops/pallas_scan.py documents the
+# scan-vs-FFT measurement that chose this formulation.)
 
 
 def bw_adjust(control: jnp.ndarray, bw_min, bw_max, level1: float,
@@ -152,28 +135,6 @@ def _masked_mean_sq(v: jnp.ndarray, n_valid=None) -> jnp.ndarray:
         return jnp.mean(v * v)
     mask = (jnp.arange(v.shape[-1]) < n_valid).astype(v.dtype)
     return jnp.sum(v * v * mask) / n_valid.astype(v.dtype)
-
-
-def env_compress_bm(env, bm, control, attn_ohc, thr_low, cr, level1):
-    """OHC compression with 800 Hz gain smoothing (pyhaspi2.py:982-999)."""
-    small = 1e-30
-    logenv = level1 + 20.0 * jnp.log10(jnp.maximum(control, small))
-    logenv = jnp.clip(logenv, thr_low, 100.0)
-    gain_db = -attn_ohc - (logenv - thr_low) * (1.0 - 1.0 / cr)
-    gain = 10.0 ** (gain_db / 20.0)
-    c = 0.095107983402496
-    d = 0.809784033195007
-    gain = one_pole(fir(gain, jnp.asarray([c, c], gain.dtype)), d)
-    return gain * env, gain * bm
-
-
-def env_sl2(env, bm, attn_ihc, level1):
-    """Convert envelope to dB SL (reference pyhaspi2.py:1080-1088)."""
-    small = 1e-30
-    y = level1 - attn_ihc + 20.0 * jnp.log10(env + small)
-    y = jnp.maximum(y, 0.0)
-    gain = (y + small) / (env + small)
-    return y, gain * bm
 
 
 @functools.lru_cache(maxsize=None)
@@ -201,19 +162,6 @@ def _ihc_eigen(delta: float = 2.0, fsamp: int = FSAMP):
     pinv_w = np.linalg.solve(p, w)
     # V1[n] = P[0, :] @ z[n], z_i[n] = evals_i * z_i[n-1] + pinv_w_i * V0[n]
     return evals, p[0], pinv_w, 1.0 / r1
-
-
-def ihc_adapt(xdb: jnp.ndarray, xbm: jnp.ndarray, delta: float = 2.0):
-    """IHC rapid/short-term adaptation via two one-pole eigenscans."""
-    evals, p0, pinv_w, r1_inv = _ihc_eigen(delta)
-    small = 1e-30
-    v1 = jnp.zeros_like(xdb)
-    for lam, p0i, wi in zip(evals, p0, pinv_w):
-        zi = one_pole(wi * xdb, float(lam))
-        v1 = v1 + p0i * zi
-    out = jnp.maximum((xdb - v1) * r1_inv, 0.0)
-    gain = (out + small) / (xdb + small)
-    return out, gain * xbm
 
 
 def _dc_group_delay(bw, cf):

@@ -184,7 +184,9 @@ def _vad_mask(x: np.ndarray, window_length=400, window_shift=200,
     nfr = (x.shape[-1] - window_length)
     starts = np.arange(0, nfr, window_shift)
     w = np.hanning(window_length + 2)[1:-1]
-    frames = np.stack([x[s:s + window_length] for s in starts]) * w
+    # one fancy-indexed gather (a per-frame Python slice loop ran once per
+    # utterance per scoring chunk)
+    frames = x[starts[:, None] + np.arange(window_length)[None, :]] * w
     xdb = 10 * np.log10((frames ** 2).mean(axis=1) + _EPS)
     ind = int(round(len(xdb) * 0.999) - 1)
     max_x = np.partition(xdb, ind)[ind]
