@@ -109,9 +109,12 @@ def main(argv=None):
         scores = score_batch(refs, [np.zeros_like(m) for m in mixes], mixes,
                              cfg.train.fs, norm=False, metrics=metrics)
         print(rev)
-        print("  " + ", ".join(
-            f"{m.upper()} is {np.mean([s[m] for s in scores]):.3f}"
-            for m in metrics))
+        if scores:
+            print("  " + ", ".join(
+                f"{m.upper()} is {np.mean([s[m] for s in scores]):.3f}"
+                for m in metrics))
+        else:
+            print("  no utterances scored for this condition")
         print("=======")
 
 

@@ -84,7 +84,7 @@ def main(argv=None):
                                                       trainer.state)
             print(f"initialised from {args.init_from_torch}")
         if args.resume:
-            trainer.resume()
+            trainer.resume(truncate_log=True)
             print(f"resumed at epoch {trainer.start_epoch}")
         return trainer
 

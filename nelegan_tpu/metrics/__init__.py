@@ -222,8 +222,13 @@ def score_corpus(clean_list, noise_list, enhanced_list, fs: int = 16000,
         # inputs, so sharded scoring uses the chunk-keyed form only.
         pool = (clean_cache if hasattr(clean_cache, "ensure")
                 and mesh is None else None)
+        chunk_cache = clean_cache
         if pool is None and hasattr(clean_cache, "ensure"):
-            key_tuple = None
+            # A pool under mesh sharding degrades to its internal
+            # chunk-keyed LRU (pool.chunk_cache) rather than silently
+            # disabling clean-side caching: fixed-composition chunks (the
+            # per-epoch validation corpus) still hit.
+            chunk_cache = clean_cache.chunk_cache
 
         def cached_clean(name, shape_sig, compute):
             """Clean-side entry via whichever cache form is active: the
@@ -232,12 +237,12 @@ def score_corpus(clean_list, noise_list, enhanced_list, fs: int = 16000,
             if pool is not None:
                 return pool.ensure((name,) + shape_sig, row_keys, compute)
             k = (name,) + key_tuple
-            v = clean_cache.get(k)
+            v = chunk_cache.get(k)
             if v is None:
                 v = compute()
                 if mesh is not None:
                     v = jax.device_put(v, NamedSharding(mesh, P("data")))
-                clean_cache[k] = v
+                chunk_cache[k] = v
             return v
 
         out: Dict[str, Any] = {}

@@ -15,10 +15,13 @@ recomputing).  Misses recompute the whole chunk and write it back with a
 single scatter (pool.at[rows].set(vals)).
 
 Capacity grows geometrically from the first chunk's size up to
-`max_rows_per_shape` (no eager multi-GB zero allocation); at the cap,
-least-recently-used rows are evicted and their slots reused, so long runs
-with many distinct (utterance, valid-length) keys cannot grow HBM without
-bound.
+`max_rows_per_shape` per shape signature AND `max_bytes` summed across all
+signatures (a corpus spanning many bucket lengths allocates one pool per
+(metric, bucket) pair — without the global bound, the per-shape cap would
+multiply); at either cap, least-recently-used rows are evicted and their
+slots reused, so long runs with many distinct (utterance, valid-length)
+keys cannot grow HBM without bound.  `resident_bytes` reports the current
+total.
 """
 from __future__ import annotations
 
@@ -35,33 +38,50 @@ class CleanSidePool:
     compute: () -> stacked pytree [len(keys), ...] for a full recompute.
     """
 
-    def __init__(self, max_rows_per_shape: int = 768):
+    def __init__(self, max_rows_per_shape: int = 768,
+                 max_bytes: int = 2 << 30):
         assert max_rows_per_shape > 0
         self.max_rows = max_rows_per_shape
+        self.max_bytes = max_bytes
+        self.resident_bytes = 0
+        # mesh-sharded score_corpus can't use arbitrary-row gathers; it
+        # degrades to this chunk-keyed LRU instead of dropping caching
+        from nelegan_tpu.utils.lru import LRUCache
+        self.chunk_cache = LRUCache(max_entries=256)
         # sig -> {"pool": pytree [cap, ...] | None, "cap": int,
-        #         "map": OrderedDict key -> row (LRU order),
-        #         "next": int high-water mark}
+        #         "row_bytes": int, "map": OrderedDict key -> row (LRU
+        #         order), "next": int high-water mark}
         self._shapes: dict = {}
 
     def _state(self, sig: Hashable) -> dict:
         if sig not in self._shapes:
-            self._shapes[sig] = {"pool": None, "cap": 0,
+            self._shapes[sig] = {"pool": None, "cap": 0, "row_bytes": 0,
                                  "map": OrderedDict(), "next": 0}
         return self._shapes[sig]
 
-    def _alloc_row(self, st: dict, pinned: set) -> int:
-        if st["next"] < self.max_rows:
+    def _row_cap(self, st: dict, chunk_rows: int) -> int:
+        """Rows this shape may occupy: per-shape cap, shrunk when the
+        global byte budget is exhausted — but never below what's already
+        allocated or below one full chunk (the pool must be able to pin a
+        whole chunk at once)."""
+        rb = max(st["row_bytes"], 1)
+        spare = max(self.max_bytes - self.resident_bytes, 0)
+        budget_rows = st["cap"] + spare // rb
+        return min(self.max_rows, max(budget_rows, st["cap"], chunk_rows))
+
+    def _alloc_row(self, st: dict, pinned: set, row_cap: int) -> int:
+        if st["next"] < row_cap:
             st["next"] += 1
             return st["next"] - 1
         for k in st["map"]:  # iterate LRU -> MRU
             if st["map"][k] not in pinned:
                 return st["map"].pop(k)
         raise RuntimeError(
-            f"CleanSidePool: max_rows_per_shape={self.max_rows} all pinned "
+            f"CleanSidePool: row cap {row_cap} all pinned "
             f"by one chunk — raise the bound above the chunk width")
 
-    def _grow_to(self, st: dict, needed: int, proto) -> None:
-        """Geometric capacity growth, bounded by max_rows."""
+    def _grow_to(self, st: dict, needed: int, proto, row_cap: int) -> None:
+        """Geometric capacity growth, bounded by the row cap."""
         import jax
         import jax.numpy as jnp
         cap = st["cap"]
@@ -70,7 +90,7 @@ class CleanSidePool:
         new_cap = max(cap, 1)
         while new_cap < needed:
             new_cap *= 2
-        new_cap = min(new_cap, self.max_rows)
+        new_cap = min(max(new_cap, needed), row_cap)
 
         def alloc(p, v):
             z = jnp.zeros((new_cap,) + v.shape[1:], v.dtype)
@@ -82,6 +102,7 @@ class CleanSidePool:
         else:
             st["pool"] = jax.tree_util.tree_map(alloc, st["pool"], proto)
         st["cap"] = new_cap
+        self.resident_bytes += (new_cap - cap) * st["row_bytes"]
 
     def ensure(self, sig: Hashable, keys: Sequence[Hashable],
                compute: Callable[[], Any]) -> Any:
@@ -97,6 +118,11 @@ class CleanSidePool:
             return jax.tree_util.tree_map(lambda p: p[idx], st["pool"])
 
         vals = compute()                         # stacked [B, ...] pytree
+        if st["row_bytes"] == 0:
+            st["row_bytes"] = sum(
+                v.nbytes // max(v.shape[0], 1)
+                for v in jax.tree_util.tree_leaves(vals))
+        row_cap = self._row_cap(st, len(set(keys)))
         # insert every key this chunk computed (first occurrence wins —
         # padded rows repeat a key with identical values)
         pinned = {r for r in rows if r is not None}
@@ -106,14 +132,14 @@ class CleanSidePool:
         need = [k for k in first_j if k not in st["map"]]
         dest: List[int] = []
         for k in need:
-            r = self._alloc_row(st, pinned)
+            r = self._alloc_row(st, pinned, row_cap)
             st["map"][k] = r
             pinned.add(r)
             dest.append(r)
         for k in keys:
             st["map"].move_to_end(k)
         if dest:
-            self._grow_to(st, max(dest) + 1, vals)
+            self._grow_to(st, max(dest) + 1, vals, row_cap)
             didx = jnp.asarray(dest, jnp.int32)
             tidx = jnp.asarray([first_j[k] for k in need], jnp.int32)
             st["pool"] = jax.tree_util.tree_map(
@@ -125,3 +151,5 @@ class CleanSidePool:
 
     def clear(self) -> None:
         self._shapes.clear()
+        self.chunk_cache.clear()
+        self.resident_bytes = 0

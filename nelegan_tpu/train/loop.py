@@ -166,7 +166,8 @@ class Trainer:
         return shard_batch(self.mesh, arrays)
 
     # ------------------------------------------------------------------
-    def resume(self, path: Optional[str] = None):
+    def resume(self, path: Optional[str] = None,
+               truncate_log: bool = False):
         from nelegan_tpu.train.checkpoint import load_checkpoint_full
         path = path or self.paths.checkpoints
         # load_checkpoint_full returns the sidecar belonging to the SAME
@@ -191,10 +192,13 @@ class Trainer:
         if "history" in extra:
             self.history = {k: list(v)
                             for k, v in extra["history"].items()}
-        # recovery re-runs the epoch after the last checkpoint; drop any
-        # log lines that epoch already appended before the failure so
-        # log.txt keeps exactly one line per epoch
-        if os.path.exists(self.paths.log_file):
+        # Automatic recovery re-runs the epoch after the last checkpoint;
+        # drop any log lines that epoch already appended before the failure
+        # so log.txt keeps exactly one line per epoch.  A *manual* resume
+        # from an explicitly older checkpoint (branching/inspection) must
+        # not destroy the later epochs' history, so callers opt in
+        # (run_with_recovery passes truncate_log=True).
+        if truncate_log and os.path.exists(self.paths.log_file):
             kept = [ln for ln in open(self.paths.log_file)
                     if self._log_epoch(ln) < self.start_epoch]
             with open(self.paths.log_file, "w") as f:
@@ -358,7 +362,10 @@ class Trainer:
                 plt.xlabel("GAN_epoch")
                 plt.ylabel(m.upper())
                 plt.grid(True)
-                plt.savefig(f"Test_{m.upper()}.png", dpi=100)
+                # curves live next to log.txt in the run's output dir —
+                # never the caller's CWD (they are run artifacts)
+                plt.savefig(os.path.join(self.paths.output,
+                                         f"Test_{m.upper()}.png"), dpi=100)
                 plt.close(fig)
         except Exception:
             pass

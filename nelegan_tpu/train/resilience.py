@@ -50,7 +50,7 @@ def run_with_recovery(make_trainer: Callable[[], "Trainer"],
             trainer = make_trainer()
             latest = os.path.join(trainer.paths.checkpoints, "latest")
             if attempt > 0 and os.path.exists(latest):
-                trainer.resume()
+                trainer.resume(truncate_log=True)
                 print(f"[recovery] attempt {attempt + 1}: resumed at epoch "
                       f"{trainer.start_epoch}", flush=True)
             trainer.run(epochs, verbose_timing=verbose_timing)

@@ -66,7 +66,6 @@ def test_per_column_gating_excludes_unscored_metrics():
 
     # generator side: masked G loss must differ from unmasked when the
     # dead columns disagree with the all-ones target
-    feats = None
     clean_band, noise_band, fr = gan.featurize_bands(cp, npd, lens, cfg)
     _, gl_all = gan.g_step_bands(state, clean_band, noise_band, fr, cfg)
     _, gl_col = gan.g_step_bands(state, clean_band, noise_band, fr, cfg,
