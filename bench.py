@@ -30,6 +30,26 @@ TOY_CLEAN = "/root/reference/toy_dataset/Train/Clean/f_hvd_100#Babble#-11.wav"
 TOY_NOISE = "/root/reference/toy_dataset/Train/Noise/f_hvd_100#Babble#-11.wav"
 BATCH = 16
 STEPS = 20
+# v5e peak: 197 TFLOP/s bf16 (MXU).  The pipeline runs f32 (which the MXU
+# executes below bf16 peak), so MFU numbers here are conservative fractions
+# of the bf16 peak — the standard accounting.
+PEAK_FLOPS = 197e12
+
+
+def _program_flops(jitted, *args, **kwargs) -> float:
+    """Compiler-estimated FLOPs of one call of a jitted program."""
+    try:
+        ca = jitted.lower(*args, **kwargs).compile().cost_analysis()
+        ca = ca[0] if isinstance(ca, list) else ca
+        return float(ca.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
+
+def _mfu(flops_per_call: float, sec_per_call: float) -> float:
+    if not flops_per_call or sec_per_call <= 0:
+        return 0.0
+    return round(flops_per_call / sec_per_call / PEAK_FLOPS, 5)
 
 
 def _load_toy():
@@ -63,15 +83,20 @@ def measure_ours() -> dict:
         return wav
 
     out = step(params, clean_p, noise_p, lengths)
-    out.block_until_ready()  # compile
+    np.asarray(out)  # compile + settle (block_until_ready does not
+    # synchronise through the remote-device tunnel; only a real fetch does)
     t0 = time.perf_counter()
     for _ in range(STEPS):
         out = step(params, clean_p, noise_p, lengths)
-    out.block_until_ready()
+    np.asarray(out)  # device executes dispatches in order, so fetching the
+    # last output bounds all STEPS batches; one fetch amortised over STEPS
     dt = time.perf_counter() - t0
     utts_per_sec = BATCH * STEPS / dt
+    flops = _program_flops(step, params, clean_p, noise_p, lengths)
     return {"utts_per_sec": utts_per_sec,
             "ms_per_batch": 1000.0 * dt / STEPS,
+            "flops_per_batch": flops,
+            "mfu_enhance": _mfu(flops, dt / STEPS),
             "platform": jax.devices()[0].platform,
             "device": str(jax.devices()[0])}
 
@@ -172,6 +197,13 @@ def measure_extras() -> dict:
     dt = (time.perf_counter() - t0) / 10
     out["gan_steps_per_sec"] = round(1.0 / dt, 2)
     out["gan_utts_per_sec"] = round(b / dt, 2)
+    fg = _program_flops(gan.g_step_bands, state, feats.clean_band,
+                        feats.noise_band, feats.frames, cfg=cfg)
+    fd = _program_flops(gan.d_step, state, img3, img2, frames, tg, tq,
+                        cfg=cfg)
+    out["mfu_gan_step"] = _mfu(fg + fd, dt)
+    out["flops_g_step"] = fg
+    out["flops_d_step"] = fd
 
     # config 3: metric-loss forwards (HASPI v2 + ESTOI on-device)
     x24 = resample_poly(jnp.asarray(clean), 3, 2)
@@ -181,7 +213,11 @@ def measure_extras() -> dict:
     t0 = time.perf_counter()
     for _ in range(5):
         _ = float(hs(x24, y24))
-    out["haspi_scores_per_sec"] = round(5 / (time.perf_counter() - t0), 2)
+    dt_h = (time.perf_counter() - t0) / 5
+    out["haspi_scores_per_sec"] = round(1.0 / dt_h, 2)
+    fh = _program_flops(hs, x24, y24)
+    out["mfu_haspi"] = _mfu(fh, dt_h)
+    out["flops_haspi"] = fh
 
     x10 = resample_poly(jnp.asarray(clean), 5, 8)
     y10 = resample_poly(jnp.asarray(clean + noise), 5, 8)
@@ -259,6 +295,8 @@ def main():
         "baseline_utts_per_sec": base.get("utts_per_sec"),
         "batch": BATCH,
         "ms_per_batch": round(ours["ms_per_batch"], 2),
+        "mfu_enhance": ours.get("mfu_enhance"),
+        "flops_per_batch": ours.get("flops_per_batch"),
         "platform": ours["platform"],
         **extras,
     }))
