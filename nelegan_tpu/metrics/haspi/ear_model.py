@@ -182,13 +182,19 @@ def _dc_group_delay(bw, cf):
 def group_delay_comp(env: jnp.ndarray, bw, cfreq) -> jnp.ndarray:
     """Right-shift each channel so group delays align (pyhaspi2.py:1098-1131).
 
-    env: [nchan, n]; bw: [nchan]."""
+    env: [nchan, n]; bw: [nchan].  Each channel's shift is a dynamic ROLL
+    (two contiguous copies) with the wrapped head zeroed — identical output
+    to an arbitrary gather, but ~20 ms/signal cheaper on v5e: a traced
+    [nchan, n] take_along_axis lowers to a general gather, which dominated
+    the whole degraded-side HASPI cost (measured 23 ms of a 39 ms score)."""
     gd = _dc_group_delay(bw, jnp.asarray(cfreq, env.dtype))
     correct = (jnp.max(gd) - gd).astype(jnp.int32)      # [nchan]
     n = env.shape[-1]
-    idx = jnp.arange(n)[None, :] - correct[:, None]
-    take = jnp.take_along_axis(env, jnp.clip(idx, 0, n - 1), axis=-1)
-    return jnp.where(idx >= 0, take, 0.0)
+
+    def shift_one(e, c):
+        return jnp.where(jnp.arange(n) < c, 0.0, jnp.roll(e, c))
+
+    return jax.vmap(shift_one)(env, correct)
 
 
 def ave_sl(env, control, attn_ohc, thr_low, cr, attn_ihc, level1):
@@ -312,11 +318,15 @@ def _ear_core(mids: jnp.ndarray, bw1, side_params, cfreq, level1: float,
     l_gam = min(n, 4096)
     l_ihc = min(n, 24576)
     l_smo = min(n, 512)
-    # one shared FFT size, set by the longest kernel (IHC): per-stage
-    # minimal sizes were tried and measured SLOWER end-to-end — mixed
-    # sizes inside the fused program cost more in XLA fusion/layout than
-    # the smaller FFTs save (full pair path 843 -> 1000 ms on v5e)
-    m_gam = m_smo = m_ihc = _fft_len_ir(n, l_ihc)
+    # Per-stage FFT sizes: the gammatone/smoother convolutions run at
+    # fft_len(n + l_gam) and only the IHC pays fft_len(n + l_ihc).  Round 1
+    # measured mixed sizes SLOWER (843 -> 1000 ms pair path) and shared one
+    # size; that result was an artifact of the group-delay gather that then
+    # dominated the program — after replacing it with rolls, re-measurement
+    # shows mixed sizes win big: degraded-side score 18.6 -> 10.7 ms, ear
+    # core 15.9 -> 7.8 ms per signal on v5e (8-wide, n24 = 51000).
+    m_gam = m_smo = _fft_len_ir(n, l_gam)
+    m_ihc = _fft_len_ir(n, l_ihc)
 
     # IHC adaptation: closed-form V1 impulse response (two exponentials)
     evals, p0, pinv_w, r1_inv = _ihc_eigen()

@@ -134,9 +134,12 @@ def _fft_len_ir(n: int, ir_len: int) -> int:
 
     Size granularity, measured on v5e: an ISOLATED rfft/irfft pair is
     ~linear in size even at 4096-multiples (4096*19 beats 3*2^k by 25%),
-    but inside the fused ear-model program finer/mixed sizes LOSE ~15%
-    end-to-end (XLA fusion/layout effects dominate the FFT savings), so
-    the coarse 2^k / 3*2^k grid stays."""
+    but inside the fused ear-model program finer 4096-grid sizes LOSE
+    ~15% end-to-end (XLA fusion/layout effects dominate the FFT savings),
+    so the coarse 2^k / 3*2^k grid stays.  Mixed PER-STAGE sizes on that
+    coarse grid, however, WIN (r2 re-measurement after the group-delay
+    gather fix: ear core 15.9 -> 7.8 ms/signal) — see
+    metrics/haspi/ear_model.py."""
     need = n + ir_len
     m = 1
     while m < need:
