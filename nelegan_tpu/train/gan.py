@@ -111,7 +111,7 @@ def _col_weights(cols, n, dtype):
                                              "quality_cols"))
 def g_step_bands(state: TrainState, clean_band, noise_band, frames,
                  cfg: Config = Config(), intel_cols: tuple = None,
-                 quality_cols: tuple = None):
+                 quality_cols: tuple = None, row_valid=None):
     """One generator update from precomputed band features.
 
     Band features are deterministic per (utterance, bucket length), so the
@@ -119,7 +119,10 @@ def g_step_bands(state: TrainState, clean_band, noise_band, frames,
     full featurization in every DataLoader __getitem__ (dataloader.py:30-42).
     intel_cols / quality_cols: static 0/1 tuples selecting which score
     columns carry loss (None = all) — columns of unscored metrics are
-    excluded on BOTH G and D sides.  Returns (state, loss).
+    excluded on BOTH G and D sides.  row_valid (traced [B] 0/1, optional):
+    ragged batches are shape-padded by repeating rows (train/loop.py); the
+    mask zeroes the padded rows' loss so padding cannot reweight gradients.
+    Returns (state, loss).
     """
     p = cfg.train.p_power
     t = clean_band.shape[1]
@@ -131,6 +134,10 @@ def g_step_bands(state: TrainState, clean_band, noise_band, frames,
     wi = _col_weights(intel_cols, cfg.model.n_intel_scores, clean_band.dtype)
     wq = _col_weights(quality_cols, cfg.model.n_quality_scores,
                       clean_band.dtype)
+    rv = (jnp.ones((clean_band.shape[0],), clean_band.dtype)
+          if row_valid is None
+          else jnp.asarray(row_valid, clean_band.dtype))
+    rden = jnp.maximum(jnp.sum(rv), 1.0)
 
     def loss_fn(gen_params):
         mask = Generator.from_config(cfg.model).apply(
@@ -148,9 +155,12 @@ def g_step_bands(state: TrainState, clean_band, noise_band, frames,
         score_q, dq_spec = QualityDiscriminator.from_config(cfg.model).apply(
             {"params": state.dq_params, "spectral": state.dq_spectral},
             img2, frames, update_sn=True, mutable=["spectral"])
-        loss = (jnp.mean(wi * (score - target) ** 2)
+        # row-masked means: identical to jnp.mean when every row is valid
+        loss = (jnp.sum(rv[:, None] * wi * (score - target) ** 2)
+                / (rden * score.shape[-1])
                 + cfg.train.weight_qua
-                * jnp.mean(wq * (score_q - target_q) ** 2))
+                * jnp.sum(rv[:, None] * wq * (score_q - target_q) ** 2)
+                / (rden * score_q.shape[-1]))
         return loss, (d_spec["spectral"], dq_spec["spectral"])
 
     (loss, (d_spec, dq_spec)), grads = jax.value_and_grad(
@@ -165,10 +175,11 @@ def g_step_bands(state: TrainState, clean_band, noise_band, frames,
 
 def g_step(state: TrainState, feats: BatchFeatures,
            cfg: Config = Config(), intel_cols: tuple = None,
-           quality_cols: tuple = None):
+           quality_cols: tuple = None, row_valid=None):
     """BatchFeatures convenience wrapper around g_step_bands."""
     return g_step_bands(state, feats.clean_band, feats.noise_band,
-                        feats.frames, cfg, intel_cols, quality_cols)
+                        feats.frames, cfg, intel_cols, quality_cols,
+                        row_valid)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -220,14 +231,16 @@ def featurize_triple(enh_padded, noise_padded, clean_padded, lengths,
 def d_step_enhanced(state: TrainState, enh_padded, noise_band, clean_band,
                     frames, targets, targets_q, cfg: Config = Config(),
                     update_intel: bool = True, update_quality: bool = True,
-                    intel_cols: tuple = None, quality_cols: tuple = None):
+                    intel_cols: tuple = None, quality_cols: tuple = None,
+                    row_valid=None):
     """Fused D update from an enhanced-wav batch + cached clean/noise bands:
     featurize + image assembly + both head updates in ONE device program
     (each separate dispatch costs a full round trip on remote devices)."""
     eband = speech_band(enh_padded, cfg)
     img3, img2 = d_images(eband, noise_band, clean_band, frames)
     return d_step(state, img3, img2, frames, targets, targets_q, cfg,
-                  update_intel, update_quality, intel_cols, quality_cols)
+                  update_intel, update_quality, intel_cols, quality_cols,
+                  row_valid)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "update_intel",
@@ -236,27 +249,35 @@ def d_step_enhanced(state: TrainState, enh_padded, noise_band, clean_band,
 def d_step(state: TrainState, img3, img2, frames, targets, targets_q,
            cfg: Config = Config(), update_intel: bool = True,
            update_quality: bool = True, intel_cols: tuple = None,
-           quality_cols: tuple = None):
+           quality_cols: tuple = None, row_valid=None):
     """One discriminator update (both heads, separate optimisers).
     Returns (state, loss_d, loss_dq).  A head whose metrics are not being
     scored trains toward fabricated targets and distorts the generator, so
     the training loop disables it via the update_* flags; within an active
     head, intel_cols / quality_cols (static 0/1 tuples) exclude individual
-    unscored metric columns from the loss the same way."""
+    unscored metric columns from the loss the same way.  row_valid (traced
+    [B] 0/1): zero loss weight for shape-padding rows."""
     wi = _col_weights(intel_cols, targets.shape[-1], img3.dtype)
     wq = _col_weights(quality_cols, targets_q.shape[-1], img3.dtype)
+    rv = (jnp.ones((img3.shape[0],), img3.dtype) if row_valid is None
+          else jnp.asarray(row_valid, img3.dtype))
+    rden = jnp.maximum(jnp.sum(rv), 1.0)
 
     def loss_d_fn(d_params):
         score, d_spec = IntelDiscriminator.from_config(cfg.model).apply(
             {"params": d_params, "spectral": state.d_spectral},
             img3, frames, update_sn=True, mutable=["spectral"])
-        return jnp.mean(wi * (score - targets) ** 2), d_spec["spectral"]
+        loss = jnp.sum(rv[:, None] * wi * (score - targets) ** 2) \
+            / (rden * score.shape[-1])
+        return loss, d_spec["spectral"]
 
     def loss_dq_fn(dq_params):
         score, dq_spec = QualityDiscriminator.from_config(cfg.model).apply(
             {"params": dq_params, "spectral": state.dq_spectral},
             img2, frames, update_sn=True, mutable=["spectral"])
-        return jnp.mean(wq * (score - targets_q) ** 2), dq_spec["spectral"]
+        loss = jnp.sum(rv[:, None] * wq * (score - targets_q) ** 2) \
+            / (rden * score.shape[-1])
+        return loss, dq_spec["spectral"]
 
     _, opt_d, opt_dq = _optims(cfg)
     d_params, d_spec, d_opt = state.d_params, state.d_spectral, state.d_opt

@@ -150,8 +150,8 @@ class Trainer:
 
     def _maybe_shard(self, *arrays):
         """Shard a batch over the data axis, padding ragged batches by
-        repeating trailing rows (a slight loss reweighting, far better than
-        silently dropping scored training data)."""
+        repeating trailing rows (training callers pass a row_valid mask so
+        the padding carries no loss weight)."""
         if self.mesh is None:
             return arrays
         from nelegan_tpu.parallel.mesh import shard_batch
@@ -301,8 +301,9 @@ class Trainer:
         row.  Every epoch samples a different corpus subset, so ragged tail
         batches take a fresh (batch, bucket_len) shape each time — without
         padding, XLA recompiles the step for every new shape, every epoch
-        (a measured ~200 s/epoch of pure compilation).  Repetition slightly
-        reweights means over the batch, the same trade _maybe_shard makes."""
+        (a measured ~200 s/epoch of pure compilation).  Padded rows carry
+        zero loss weight (the row_valid masks in g_step_bands/d_step), so
+        repetition does not reweight gradients."""
         b = arrays[0].shape[0]
         if b >= batch_size:
             return arrays
@@ -315,12 +316,17 @@ class Trainer:
     def train_generator_epoch(self, sampled: Sequence[str]) -> float:
         losses = []  # device scalars; fetched once (remote sync is ~32 ms)
         for batch in self.loader(sampled):
-            args = self._pad_batch_rows(self._cached_bands(batch),
-                                        self.cfg.train.batch_size)
-            args = self._maybe_shard(*args)
+            bands = self._cached_bands(batch)
+            n_real = bands[0].shape[0]
+            args = self._pad_batch_rows(bands, self.cfg.train.batch_size)
+            # padded rows repeat real rows for shape stability but carry
+            # zero loss weight — padding must not reweight gradients
+            mask = (np.arange(args[0].shape[0]) < n_real).astype(np.float32)
+            args = self._maybe_shard(*args, mask)
             self.state, loss = gan.g_step_bands(
-                self.state, *args, self.cfg,
-                intel_cols=self._intel_cols, quality_cols=self._qua_cols)
+                self.state, *args[:-1], self.cfg,
+                intel_cols=self._intel_cols, quality_cols=self._qua_cols,
+                row_valid=args[-1])
             losses.append(loss)
         import jax.numpy as jnp
         return float(np.mean(np.asarray(jnp.stack(losses)))) \
@@ -412,15 +418,19 @@ class Trainer:
             # pad ragged groups to the full batch size by repeating rows:
             # every d_step_enhanced call then shares ONE compiled shape per
             # bucket length (remote compiles cost 10-30 s per new shape)
+            n_real = ep.shape[0]
             ep, nb, cb, frames, targets, targets_q = self._pad_batch_rows(
                 (ep, nb, cb, frames, targets, targets_q), bs)
-            args = self._maybe_shard(ep, nb, cb, frames, targets, targets_q)
+            mask = (np.arange(ep.shape[0]) < n_real).astype(np.float32)
+            args = self._maybe_shard(ep, nb, cb, frames, targets, targets_q,
+                                     mask)
             self.state, ld, lq = gan.d_step_enhanced(
-                self.state, *args, self.cfg,
+                self.state, *args[:-1], self.cfg,
                 update_intel=self.intel_active,
                 update_quality=self.qua_active,
                 intel_cols=self._intel_cols,
-                quality_cols=self._qua_cols)
+                quality_cols=self._qua_cols,
+                row_valid=args[-1])
             losses.append((ld, lq))
         if not losses:
             return []
