@@ -1,0 +1,79 @@
+"""Full multi-device training EPOCHS on the virtual CPU mesh (VERDICT r1 #6).
+
+Round 1 only proved per-STEP dp parity (test_parallel.py); this runs two
+complete Trainer epochs — enhancement, scoring, replay, 3 D passes,
+validation with mesh-sharded score_corpus — under data_parallel=True on
+the 8-virtual-device mesh and checks the result against an identically
+seeded single-device run."""
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+
+from nelegan_tpu.config import Config, TrainConfig
+from nelegan_tpu.train.loop import Trainer, TrainPaths
+
+REPO = os.path.join(os.path.dirname(__file__), "..")
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    out = tmp_path_factory.mktemp("synth_corpus")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools/make_synth_corpus.py"),
+         str(out), "--n-train", "8", "--n-test", "4", "--seed", "3"],
+        capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    return str(out)
+
+
+def _make_trainer(corpus, tmp_path, tag, data_parallel):
+    cfg = Config(train=TrainConfig(num_sampling=6, num_valid=2,
+                                   batch_size=8, gan_epochs=2))
+    paths = TrainPaths(
+        train_clean=os.path.join(corpus, "Train/Clean"),
+        train_noise=os.path.join(corpus, "Train/Noise"),
+        test_clean=os.path.join(corpus, "Test/Clean"),
+        test_noise=os.path.join(corpus, "Test/Noise"),
+        train_enhanced=os.path.join(corpus, "Train/MultiEnh"),
+        output=str(tmp_path / f"out_{tag}"),
+        checkpoints=str(tmp_path / f"chkpt_{tag}"),
+        log_file=str(tmp_path / f"log_{tag}.txt"),
+    )
+    return Trainer(paths, cfg, metric_set=("estoi", "pesq", "visqol"),
+                   valid_metric_set=("estoi",), data_parallel=data_parallel)
+
+
+def test_two_epoch_dp_matches_single(corpus, tmp_path):
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+
+    t_dp = _make_trainer(corpus, tmp_path, "dp", data_parallel=True)
+    assert t_dp.mesh is not None, "trainer did not build a mesh"
+    t_1d = _make_trainer(corpus, tmp_path, "1d", data_parallel=False)
+
+    m_dp_1 = t_dp.run_epoch(1)
+    m_1d_1 = t_1d.run_epoch(1)
+    m_dp_2 = t_dp.run_epoch(2)
+    m_1d_2 = t_1d.run_epoch(2)
+
+    # epoch 1 scores the UNtrained generator's output — identical host RNG
+    # streams mean identical sampling, so the means must agree tightly
+    assert abs(m_dp_1["estoi"] - m_1d_1["estoi"]) < 1e-3, (m_dp_1, m_1d_1)
+    # epoch 2 includes G+D updates; f32 reduction-order drift accumulates
+    # through an epoch of optimiser steps but the runs must stay close
+    assert abs(m_dp_2["estoi"] - m_1d_2["estoi"]) < 5e-3, (m_dp_2, m_1d_2)
+
+    # both ran the same phases
+    for t in (t_dp, t_1d):
+        assert int(t.state.step_g) >= 1
+        assert int(t.state.step_d) > 0
+        assert os.path.exists(t.paths.log_file)
+
+    # the sharded validation path really used the mesh-sharded score_corpus
+    # (chunk-keyed LRU fallback populates on a mesh, the pool stays empty)
+    assert len(t_dp._clean_side_cache) > 0
