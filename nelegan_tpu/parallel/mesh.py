@@ -12,6 +12,13 @@ TPU-native strategy:
   * **model axis (tp)** — channel/feature dimensions of the conv stacks
     shard over a second axis (generator hidden=256, discriminator widths
     8..64 are all divisible); XLA inserts all-gathers between stages.
+    MEASURED SLOWER than pure dp for these small convs (tools/measure_tp.py
+    on the 8-virtual-device mesh, global batch 8: dp8 3.18 s vs dp4xtp2
+    3.87 s per G+D step — tp2 is 1.22x dp's step time; the all-gathers buy
+    nothing because every weight fits comfortably per device).  Every
+    production path therefore defaults to model_parallel=1; the axis is
+    kept for compile coverage (__graft_entry__.dryrun_multichip) and for
+    re-evaluation on real multi-chip ICI.
   * sequence parallelism is deliberately *not* sharded across devices: the
     long-sequence compute here is IIR recurrences (IMCRA, gammatone, IHC),
     which parallelise over time *within* a device as log-depth associative
