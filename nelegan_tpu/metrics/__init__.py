@@ -309,6 +309,14 @@ def score_corpus(clean_list, noise_list, enhanced_list, fs: int = 16000,
                 sv_j = jax.device_put(sv_j, row)
 
             def _tile_mod(sig, nvj, svj):
+                # Tried and rejected (r2): replacing this modulo-gather
+                # with log-doubling rolls (the ear_model.py group-delay
+                # trick; 7 rolls cover m_fac <= 100).  Measured on the
+                # real chip at 32x(32k-64k)-sample corpora: rolls 37-45
+                # ms/sig warm vs gather 34-36 — the 21 extra sb-length
+                # passes cost more than the one gather saves here.
+                # Re-try only if sb grows well past 2M or XLA's TPU
+                # gather lowering changes.
                 idx = jnp.arange(sb) % jnp.maximum(nvj, 1)
                 return sig[idx] * (jnp.arange(sb) < svj).astype(sig.dtype)
 
