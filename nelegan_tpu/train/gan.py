@@ -246,6 +246,27 @@ def d_step_enhanced(state: TrainState, enh_padded, noise_band, clean_band,
 @functools.partial(jax.jit, static_argnames=("cfg", "update_intel",
                                              "update_quality", "intel_cols",
                                              "quality_cols"))
+def d_step_bands(state: TrainState, eband, noise_band, clean_band, frames,
+                 targets, targets_q, cfg: Config = Config(),
+                 update_intel: bool = True, update_quality: bool = True,
+                 intel_cols: tuple = None, quality_cols: tuple = None,
+                 row_valid=None):
+    """D update from precomputed enhanced bands (the training loop's
+    device-resident band pool, train/loop.py): identical math to
+    d_step_enhanced, minus the featurization — the enhanced wav's bands are
+    deterministic per file, so passes 2-3 of each epoch (and replayed
+    entries in later epochs) gather cached rows on device instead of
+    re-reading the PCM16 file, re-uploading it through the tunnel, and
+    re-running the STFT."""
+    img3, img2 = d_images(eband, noise_band, clean_band, frames)
+    return d_step(state, img3, img2, frames, targets, targets_q, cfg,
+                  update_intel, update_quality, intel_cols, quality_cols,
+                  row_valid)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "update_intel",
+                                             "update_quality", "intel_cols",
+                                             "quality_cols"))
 def d_step(state: TrainState, img3, img2, frames, targets, targets_q,
            cfg: Config = Config(), update_intel: bool = True,
            update_quality: bool = True, intel_cols: tuple = None,

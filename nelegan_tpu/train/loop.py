@@ -144,9 +144,21 @@ class Trainer:
         if self.mesh is None:
             from nelegan_tpu.metrics.clean_pool import CleanSidePool
             self._clean_side_cache = CleanSidePool(max_rows_per_shape=768)
+            # device-resident training-band pool: clean/noise band rows
+            # keyed (name, bucket) and enhanced-band rows keyed
+            # (enhanced_path, bucket).  G batches and D passes gather rows
+            # on device (one dispatch) instead of re-reading wavs and
+            # re-uploading ~0.7-1.8 MB per group through the ~30 ms-RTT
+            # tunnel — D passes 2/3 repeat pass 1's data exactly, and every
+            # epoch re-samples the same underlying corpus.
+            self._dev_bands = CleanSidePool(max_rows_per_shape=1024,
+                                            max_bytes=768 << 20)
         else:
             from nelegan_tpu.utils.lru import LRUCache
             self._clean_side_cache = LRUCache(max_entries=192)
+            # arbitrary-row device gathers don't compose with sharded
+            # batches; the mesh path keeps the host band cache only
+            self._dev_bands = None
 
     def _maybe_shard(self, *arrays):
         """Shard a batch over the data axis, padding ragged batches by
@@ -313,15 +325,68 @@ class Trainer:
                                       batch_size - b, axis=0)], axis=0)
             for a in arrays)
 
+    def _pooled_cn_bands(self, group_paths: Sequence[str]):
+        """(clean_band, noise_band, frames) for a same-bucket path group,
+        padded to the fixed batch size, gathered from the device pool.
+        Misses load + featurize the group once (via the host band cache)
+        and scatter the rows in; full hits touch neither the filesystem
+        nor the host->device path."""
+        import jax.numpy as jnp
+        from nelegan_tpu.data.pipeline import _bucket_len
+        bs = self.cfg.train.batch_size
+        blen = _bucket_len(max(self.train_index.length(p)
+                               for p in group_paths))
+        padded = list(group_paths) + \
+            [group_paths[-1]] * (bs - len(group_paths))
+        keys = [(self.train_index.name(p), blen) for p in padded]
+
+        def compute():
+            batch = self.loader.load_group(group_paths)
+            cb, nb, fr = self._cached_bands(batch)
+            cb, nb, fr = self._pad_batch_rows((cb, nb, fr), bs)
+            return (jnp.asarray(cb), jnp.asarray(nb), jnp.asarray(fr))
+
+        return self._dev_bands.ensure(("cn", blen), keys, compute)
+
+    def _pooled_ebands(self, group: Sequence[ReplayEntry], blen: int):
+        """Enhanced-wav band rows for one D group, from the device pool.
+        An enhanced file is immutable once written, so its bands are
+        cached for the epoch's remaining passes and for replay in later
+        epochs."""
+        bs = self.cfg.train.batch_size
+        padded = list(group) + [group[-1]] * (bs - len(group))
+        keys = [(e.enhanced_path, blen) for e in padded]
+
+        def compute():
+            # trim to the clean bucket: a pre-enhanced (SSDRC) file can be
+            # a few samples longer than its clean counterpart, which would
+            # overflow the fixed reflect-pad buffer
+            enhs = [read_wav(e.enhanced_path)[0][:blen] for e in group]
+            ep, _ = pipeline.reflect_pad_batch(enhs, blen)
+            ep = self._pad_batch_rows((ep,), bs)[0]
+            return gan.speech_band(ep, self.cfg)
+
+        return self._dev_bands.ensure(("eb", blen), keys, compute)
+
     def train_generator_epoch(self, sampled: Sequence[str]) -> float:
         losses = []  # device scalars; fetched once (remote sync is ~32 ms)
-        for batch in self.loader(sampled):
-            bands = self._cached_bands(batch)
-            n_real = bands[0].shape[0]
-            args = self._pad_batch_rows(bands, self.cfg.train.batch_size)
+        bs = self.cfg.train.batch_size
+        # replicate BucketedLoader.__call__'s RNG stream exactly (shuffle
+        # paths, then _batches shuffles the groups) so pooled and unpooled
+        # runs sample identically and resume stays deterministic
+        paths = list(sampled)
+        if self.loader.shuffle:
+            self.loader.rng.shuffle(paths)
+        for group in self.loader._batches(paths):
+            n_real = len(group)
+            if self._dev_bands is not None:
+                args = self._pooled_cn_bands(group)
+            else:
+                bands = self._cached_bands(self.loader.load_group(group))
+                args = self._pad_batch_rows(bands, bs)
             # padded rows repeat real rows for shape stability but carry
             # zero loss weight — padding must not reweight gradients
-            mask = (np.arange(args[0].shape[0]) < n_real).astype(np.float32)
+            mask = (np.arange(bs) < n_real).astype(np.float32)
             args = self._maybe_shard(*args, mask)
             self.state, loss = gan.g_step_bands(
                 self.state, *args[:-1], self.cfg,
@@ -404,33 +469,46 @@ class Trainer:
                    and blen(entries[i]) == b):
                 group.append(entries[i])
                 i += 1
-            batch = self.loader.load_group(
-                [self.train_index.clean_path_for(e.name) for e in group])
-            cb, nb, frames = self._cached_bands(batch)
-            tlen = batch.clean.shape[1] - 512
-            # trim to the clean bucket: a pre-enhanced (SSDRC) file can be
-            # a few samples longer than its clean counterpart, which would
-            # overflow the fixed reflect-pad buffer
-            enhs = [read_wav(e.enhanced_path)[0][:tlen] for e in group]
-            ep, _ = pipeline.reflect_pad_batch(enhs, tlen)
+            cpaths = [self.train_index.clean_path_for(e.name)
+                      for e in group]
             targets = np.array([e.scores[:3] for e in group], np.float32)
             targets_q = np.array([e.scores[3:5] for e in group], np.float32)
             # pad ragged groups to the full batch size by repeating rows:
-            # every d_step_enhanced call then shares ONE compiled shape per
-            # bucket length (remote compiles cost 10-30 s per new shape)
-            n_real = ep.shape[0]
-            ep, nb, cb, frames, targets, targets_q = self._pad_batch_rows(
-                (ep, nb, cb, frames, targets, targets_q), bs)
-            mask = (np.arange(ep.shape[0]) < n_real).astype(np.float32)
-            args = self._maybe_shard(ep, nb, cb, frames, targets, targets_q,
-                                     mask)
-            self.state, ld, lq = gan.d_step_enhanced(
-                self.state, *args[:-1], self.cfg,
-                update_intel=self.intel_active,
-                update_quality=self.qua_active,
-                intel_cols=self._intel_cols,
-                quality_cols=self._qua_cols,
-                row_valid=args[-1])
+            # every D step then shares ONE compiled shape per bucket
+            # length (remote compiles cost 10-30 s per new shape)
+            n_real = len(group)
+            targets, targets_q = self._pad_batch_rows(
+                (targets, targets_q), bs)
+            mask = (np.arange(bs) < n_real).astype(np.float32)
+            if self._dev_bands is not None:
+                cb, nb, frames = self._pooled_cn_bands(cpaths)
+                eband = self._pooled_ebands(group, b)
+                self.state, ld, lq = gan.d_step_bands(
+                    self.state, eband, nb, cb, frames, targets, targets_q,
+                    self.cfg, update_intel=self.intel_active,
+                    update_quality=self.qua_active,
+                    intel_cols=self._intel_cols,
+                    quality_cols=self._qua_cols, row_valid=mask)
+            else:
+                batch = self.loader.load_group(cpaths)
+                cb, nb, frames = self._cached_bands(batch)
+                tlen = batch.clean.shape[1] - 512
+                # trim to the clean bucket: a pre-enhanced (SSDRC) file
+                # can be a few samples longer than its clean counterpart,
+                # which would overflow the fixed reflect-pad buffer
+                enhs = [read_wav(e.enhanced_path)[0][:tlen] for e in group]
+                ep, _ = pipeline.reflect_pad_batch(enhs, tlen)
+                ep, nb, cb, frames = self._pad_batch_rows(
+                    (ep, nb, cb, frames), bs)
+                args = self._maybe_shard(ep, nb, cb, frames, targets,
+                                         targets_q, mask)
+                self.state, ld, lq = gan.d_step_enhanced(
+                    self.state, *args[:-1], self.cfg,
+                    update_intel=self.intel_active,
+                    update_quality=self.qua_active,
+                    intel_cols=self._intel_cols,
+                    quality_cols=self._qua_cols,
+                    row_valid=args[-1])
             losses.append((ld, lq))
         if not losses:
             return []

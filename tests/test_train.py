@@ -65,3 +65,42 @@ def test_two_epochs_and_resume(toy_trainer, tmp_path):
     np.testing.assert_allclose(
         np.asarray(t2.state.gen_params["fc1"]["kernel"]),
         np.asarray(t.state.gen_params["fc1"]["kernel"]))
+
+
+def _mini_trainer(tmp_path, tag):
+    cfg = Config(train=TrainConfig(num_sampling=1, num_valid=1,
+                                   batch_size=1, gan_epochs=2))
+    paths = TrainPaths(
+        train_clean=os.path.join(TOY, "Train/Clean"),
+        train_noise=os.path.join(TOY, "Train/Noise"),
+        test_clean=os.path.join(TOY, "Test/Clean"),
+        test_noise=os.path.join(TOY, "Test/Noise"),
+        train_enhanced=os.path.join(TOY, "Train/MultiEnh"),
+        output=str(tmp_path / f"output_{tag}"),
+        checkpoints=str(tmp_path / f"chkpt_{tag}"),
+        log_file=str(tmp_path / f"log_{tag}.txt"),
+    )
+    return Trainer(paths, cfg, metric_set=("estoi",),
+                   valid_metric_set=("estoi",))
+
+
+def test_device_band_pool_matches_unpooled(tmp_path):
+    """The device-resident band pool is a pure data-routing cache: two
+    epochs with it must land on the same parameters as two epochs reading
+    every wav and re-featurizing on every pass (the mesh-path fallback)."""
+    tp = _mini_trainer(tmp_path, "pool")
+    assert tp._dev_bands is not None  # single-chip default: pool active
+    tp.run_epoch(1)
+    tp.run_epoch(2)
+
+    tu = _mini_trainer(tmp_path, "nopool")
+    tu._dev_bands = None              # force the unpooled fallback path
+    tu.run_epoch(1)
+    tu.run_epoch(2)
+
+    jax = pytest.importorskip("jax")
+    for a, b in zip(jax.tree_util.tree_leaves(tp.state),
+                    jax.tree_util.tree_leaves(tu.state)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=1e-7)
+    assert len(tp._dev_bands) > 0     # the pool actually saw traffic
