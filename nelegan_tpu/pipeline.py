@@ -170,6 +170,43 @@ def istft_batch_tail_truncated(spec: jnp.ndarray,
 
 
 @jax.jit
+def pcm16_quantize(wav: jnp.ndarray) -> jnp.ndarray:
+    """Bit-exact device replica of the PCM16 disk round trip.
+
+    Matches csrc/wavio.cpp write (clip to [-1,1], scale by 32768, clamp to
+    32767, round half away from zero — libsndfile semantics) followed by
+    the read path's int16/32768 scaling.  All steps are f32 IEEE ops, so a
+    quantized device row equals the decoded file sample for sample; this
+    lets band features of a *written* wav be computed without reading the
+    file back (train/loop.py's enhanced-band pool insertion)."""
+    v = jnp.clip(wav, -1.0, 1.0)
+    s = jnp.minimum(v * jnp.float32(32768.0), jnp.float32(32767.0))
+    q = jnp.where(s >= 0, jnp.floor(s + 0.5), jnp.ceil(s - 0.5))
+    return q * jnp.float32(1.0 / 32768.0)
+
+
+@jax.jit
+def reflect_pad_device(wav: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
+    """Device replica of reflect_pad_batch for device-resident rows.
+
+    wav [B, n] (row i valid through lengths[i] >= 258 samples) ->
+    [B, n + N_FFT] with a HOP-sample reflection at each row's own edges and
+    zeros past lengths[i] + N_FFT, matching np.pad(w, (256, 256),
+    'reflect') placed at the buffer head."""
+    n = wav.shape[-1]
+    j = jnp.arange(n + N_FFT)
+    k = jnp.abs(j - HOP)                       # head reflection
+
+    def row(w, length):
+        lm = jnp.maximum(length - 1, 1)
+        idx = lm - jnp.abs(lm - k)             # tail reflection
+        out = w[jnp.clip(idx, 0, n - 1)]
+        return jnp.where(j < length + N_FFT, out, 0.0)
+
+    return jax.vmap(row)(wav, lengths)
+
+
+@jax.jit
 def active_speech_level_batch(wavs: jnp.ndarray) -> jnp.ndarray:
     """Vmapped ITU-T P.56 active speech level over a batch (BASELINE
     config 2's normalization variant; the reference ships asl_P56.py but

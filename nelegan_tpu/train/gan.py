@@ -199,6 +199,18 @@ def speech_band(wav_padded, cfg: Config = Config()):
         cfg.train.p_power
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def eband_from_enhanced(wav, out_lens, cfg: Config = Config()):
+    """Enhanced-wav band features straight from enhance_batch's device
+    output: PCM16-quantize (bit-exact vs the written file,
+    pipeline.pcm16_quantize), ragged reflect-pad, STFT bands.  The
+    enhance-for-D phase inserts these rows into the device band pool, so
+    even D pass 1 never reads the file it just wrote."""
+    from nelegan_tpu.pipeline import pcm16_quantize, reflect_pad_device
+    padded = reflect_pad_device(pcm16_quantize(wav), out_lens)
+    return speech_band(padded, cfg)
+
+
 @jax.jit
 def d_images(eband, noise_band, clean_band, frames):
     """Assemble the discriminator image tensors from band features."""

@@ -243,25 +243,43 @@ class Trainer:
             wavs, _, out_lens = pipeline.enhance_batch(
                 self.state.gen_params, feats, self.cfg.train.p_power,
                 self.cfg.train.target_rms)
-            yield batch.names, np.asarray(wavs)[:b], np.asarray(out_lens)[:b]
+            yield (batch.names, np.asarray(wavs)[:b],
+                   np.asarray(out_lens)[:b], (wavs, out_lens))
 
     def _write_enhanced(self, index: CorpusIndex, paths: Sequence[str],
                         out_dir: str, epoch: int,
                         keep_first: int = 10 ** 9,
-                        alt_dir: Optional[str] = None) -> List[str]:
+                        alt_dir: Optional[str] = None,
+                        pool_ebands: bool = False) -> List[str]:
         os.makedirs(out_dir, exist_ok=True)
         if alt_dir:
             os.makedirs(alt_dir, exist_ok=True)
         written = []
         count = 0
-        for names, wavs, out_lens in self._enhance_batches(index, paths):
+        for names, wavs, out_lens, dev in self._enhance_batches(index,
+                                                                paths):
+            batch_paths = []
             for i, name in enumerate(names):
                 base = f"{name[:-4]}@{epoch}{name[-4:]}"
                 target = out_dir if count < keep_first else alt_dir
                 p = os.path.join(target, base)
                 write_wav_pcm16(p, wavs[i, :out_lens[i]], self.cfg.train.fs)
                 written.append(p)
+                batch_paths.append(p)
                 count += 1
+            if pool_ebands and self._dev_bands is not None:
+                # the just-written files' band rows, computed from the
+                # device wavs (PCM16-quantized on device, bit-exact vs the
+                # file — gan.eband_from_enhanced): D pass 1 starts warm
+                wavs_dev, lens_dev = dev
+                blen = wavs_dev.shape[-1]
+                bs = wavs_dev.shape[0]
+                keys = [(p, blen) for p in batch_paths]
+                keys += [keys[-1]] * (bs - len(keys))
+                self._dev_bands.ensure(
+                    ("eb", blen), keys,
+                    lambda: gan.eband_from_enhanced(wavs_dev, lens_dev,
+                                                    self.cfg))
         return written
 
     def _score_files(self, index: CorpusIndex, enhanced_paths: Sequence[str],
@@ -541,7 +559,8 @@ class Trainer:
         # discriminator data generation + scoring
         with self.timer.phase("enhance_for_d"):
             written = self._write_enhanced(self.train_index, sampled,
-                                           disc_dir, epoch)
+                                           disc_dir, epoch,
+                                           pool_ebands=True)
         with self.timer.phase("score_for_d"):
             gen_scores = self._score_files(self.train_index, written,
                                            norm=True,

@@ -110,3 +110,76 @@ def test_enhance_batch_silent_row_is_finite():
     out = np.asarray(wav)
     assert np.isfinite(out).all()
     assert np.abs(out[1]).max() == 0.0
+
+
+def test_pcm16_quantize_matches_disk_round_trip(tmp_path):
+    """pcm16_quantize must be bit-exact vs write_wav_pcm16 + read_wav
+    (clip, x32768, clamp 32767, round half away from zero — the pool's
+    enhanced-band insertion relies on this, train/loop.py)."""
+    from nelegan_tpu.data.wavio import read_wav, write_wav_pcm16
+    rng = np.random.RandomState(1)
+    w = np.concatenate([
+        0.2 * rng.randn(5000),
+        [1.5, -1.5, 1.0, -1.0, 32767.4 / 32768, 32767.6 / 32768,
+         -32768.4 / 32768, 0.5 / 32768, -0.5 / 32768],
+    ]).astype(np.float32)
+    p = str(tmp_path / "q.wav")
+    write_wav_pcm16(p, w)
+    back, _ = read_wav(p)
+    q = np.asarray(pipeline.pcm16_quantize(w))
+    np.testing.assert_array_equal(q, back)
+
+
+def test_reflect_pad_device_matches_host():
+    rng = np.random.RandomState(2)
+    n = 5000
+    for length in (300, 1024, 4999, 5000):
+        w = (0.1 * rng.randn(length)).astype(np.float32)
+        host, _ = pipeline.reflect_pad_batch([w], n)
+        dev_in = np.zeros((1, n), np.float32)
+        dev_in[0, :length] = w
+        dev = np.asarray(pipeline.reflect_pad_device(
+            dev_in, np.array([length], np.int32)))
+        np.testing.assert_array_equal(host, dev)
+
+
+def test_eband_from_enhanced_matches_file_path(tmp_path):
+    """The pool row inserted at enhance time must equal the row the D pass
+    would have computed from the written file."""
+    import jax
+    from nelegan_tpu.config import Config
+    from nelegan_tpu.data.wavio import read_wav, write_wav_pcm16
+    from nelegan_tpu.train import gan
+
+    cfg = Config()
+    rng = np.random.RandomState(3)
+    lens = [7000, 8192]
+    wavs = [(0.03 * rng.randn(n)).astype(np.float32) for n in lens]
+    noises = [(0.01 * rng.randn(n)).astype(np.float32) for n in lens]
+    cp, lengths = pipeline.reflect_pad_batch(wavs, 8192)
+    npad, _ = pipeline.reflect_pad_batch(noises, 8192)
+    params = Generator().init(
+        jax.random.PRNGKey(0), np.zeros((1, 8, 64), np.float32),
+        np.zeros((1, 8, 64), np.float32))["params"]
+    feats = pipeline.featurize_batch(cp, npad, lengths, cfg.train.p_power)
+    wav_dev, _, out_lens = pipeline.enhance_batch(
+        params, feats, cfg.train.p_power, cfg.train.target_rms)
+
+    pooled = np.asarray(gan.eband_from_enhanced(wav_dev, out_lens, cfg))
+
+    wavs_np = np.asarray(wav_dev)
+    lens_np = np.asarray(out_lens)
+    blen = wavs_np.shape[-1]
+    enhs = []
+    for i in range(len(lens)):
+        p = str(tmp_path / f"e{i}.wav")
+        write_wav_pcm16(p, wavs_np[i, :lens_np[i]])
+        enhs.append(read_wav(p)[0][:blen])
+    ep, _ = pipeline.reflect_pad_batch(enhs, blen)
+    from_file = np.asarray(gan.speech_band(ep, cfg))
+
+    t_valid = [1 + n // 256 for n in lens_np]
+    for i, t in enumerate(t_valid):
+        # frames past the valid count are masked downstream; compare the
+        # frames the discriminator actually sees
+        np.testing.assert_array_equal(pooled[i, :t], from_file[i, :t])
