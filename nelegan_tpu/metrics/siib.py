@@ -82,7 +82,16 @@ def _stack_pair(x: jnp.ndarray, y: jnp.ndarray | None,
     xf = _frame(x, WIN, HOP) * w
     nf = xf.shape[0]
 
-    # silence removal on clean-signal energy, compacted to the front
+    # silence removal on clean-signal energy, compacted to the front.
+    # Tried and rejected (r2, measured on v5e): (a) moving this compaction
+    # gather after the band reduction (gathering [F,40] rows instead of
+    # [F,400] frames) and (b) replacing the K-stack gather below with
+    # K_STACK static slices + concat (the ear model's roll trick).  Both
+    # exact; neither moved the needle — warm with-KLT path 14.6 -> 14.8 ms
+    # single / 3.90 -> 3.69 ms/score vmapped B=4 at bucket 470528 (noise),
+    # because the rfft dominates and XLA lowers these gathers as cheap
+    # dynamic-slices already.  The real score_for_d cost is host-side
+    # tiling/prep, not this program.
     energy = 20.0 * jnp.log10(jnp.linalg.norm(xf, axis=-1) + _EPS)
     if n_valid is not None:
         starts = jnp.arange(nf) * HOP
