@@ -150,6 +150,29 @@ def score_corpus(clean_list, noise_list, enhanced_list, fs: int = 16000,
     results = [dict() for _ in range(n_utts)]
     mappers = make_mappers_np()
 
+    # NELE_SCORE_TIMING=1: per-section wall-clock breakdown with real-fetch
+    # barriers after each section (block_until_ready does not synchronise
+    # through the remote tunnel).  The barriers serialise the host/device
+    # pipeline, so the TOTAL under this mode exceeds production time — use
+    # the section SPLIT, not the sum.  Written to metrics.LAST_TIMING.
+    import os as _os
+    import time as _time
+    _timing = ({"pack_s": 0.0, "upload_s": 0.0, "vad_s": 0.0, "fetch_s": 0.0}
+               if _os.environ.get("NELE_SCORE_TIMING") else None)
+
+    def _tick():
+        return _time.perf_counter() if _timing is not None else 0.0
+
+    def _tock(key, t0, barrier=None):
+        if _timing is None:
+            return
+        if barrier is not None:
+            # fetch ONE element: device dispatches execute in order, so a
+            # scalar fetch bounds everything queued before it without
+            # transferring the buffer itself
+            np.asarray(barrier.ravel()[0])
+        _timing[key] = _timing.get(key, 0.0) + (_time.perf_counter() - t0)
+
     dp = int(mesh.shape["data"]) if mesh is not None else 1
     width = vmap_chunk * dp
 
@@ -181,6 +204,7 @@ def score_corpus(clean_list, noise_list, enhanced_list, fs: int = 16000,
             alloc *= 2
         alloc = min(max(alloc, dp), width)
         alloc += (-alloc) % dp
+        _t0 = _tick()
         ref = np.zeros((alloc, blen), np.float32)
         ne = np.zeros((alloc, blen), np.float32)   # enhanced + noise
         enh = np.zeros((alloc, blen), np.float32)
@@ -192,8 +216,11 @@ def score_corpus(clean_list, noise_list, enhanced_list, fs: int = 16000,
             enh[j, :m] = enhanced_list[i][:m]
             ne[j, :m] = enhanced_list[i][:m] + noise_list[i][:m]
             nv[j] = m
+        _tock("pack_s", _t0)
+        _t0 = _tick()
         ref_j, ne_j, enh_j = map(jnp.asarray, (ref, ne, enh))
         nv_j = jnp.asarray(nv)
+        _tock("upload_s", _t0, barrier=enh_j)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             row = NamedSharding(mesh, P("data"))
@@ -295,6 +322,7 @@ def score_corpus(clean_list, noise_list, enhanced_list, fs: int = 16000,
             # tiled signal comfortably exceeds the 20 s active-speech goal
             # for any input with >= 1.6% speech activity
             max_tiled = 2_097_152
+            _t0 = _tick()
             sv = np.zeros(alloc, np.int32)
             for j in range(alloc):
                 nvj = int(nv[j])
@@ -303,6 +331,7 @@ def score_corpus(clean_list, noise_list, enhanced_list, fs: int = 16000,
                          if active < 20 else 1)
                 m_fac = min(m_fac, max(max_tiled // max(nvj, 1), 1))
                 sv[j] = m_fac * nvj
+            _tock("vad_s", _t0)
             sb = -(-int(sv.max()) // bucket_quant) * bucket_quant
             sv_j = jnp.asarray(sv)
             if mesh is not None:
@@ -331,16 +360,38 @@ def score_corpus(clean_list, noise_list, enhanced_list, fs: int = 16000,
                 out["siib"] = jax.vmap(siib_gauss_16k_with_klt)(
                     xs_j, ys_j, sv_j, u)
 
+        if _timing is not None:
+            # barrier per metric IN DISPATCH ORDER: each delta attributes
+            # that metric's device time (cache-miss clean-side computes
+            # dispatched inside a metric's block are charged to it)
+            for m_name, val in out.items():
+                _t0 = _time.perf_counter()
+                np.asarray(val.ravel()[0])
+                _timing[m_name + "_s"] = (_timing.get(m_name + "_s", 0.0)
+                                          + _time.perf_counter() - _t0)
+
         pending.append((idxs, out))
 
     # fetch AFTER every chunk has been dispatched: a per-chunk fetch would
     # block the host (next chunk's VAD/packing/upload) on the device and
     # the device on the host, serialising the pipeline through the tunnel
+    _t0 = _tick()
     for idxs, out in pending:
         fetched = {k: np.asarray(v) for k, v in out.items()}
         for j, i in enumerate(idxs):
             for m in metrics:
                 raw = float(fetched[m][j])
                 results[i][m] = float(mappers[m](raw)) if norm else raw
+    _tock("fetch_s", _t0)
+    if _timing is not None:
+        global LAST_TIMING
+        _timing = {k: round(v, 3) for k, v in _timing.items()}
+        _timing["n_utts"] = n_utts
+        _timing["n_chunks"] = len(chunked)
+        LAST_TIMING = _timing
     return results
+
+
+#: last score_corpus section breakdown under NELE_SCORE_TIMING=1
+LAST_TIMING: Dict[str, Any] = {}
 
