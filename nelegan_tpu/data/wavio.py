@@ -40,11 +40,24 @@ def build_native(force: bool = False) -> str | None:
         return None
 
 
+def _packaged_lib() -> str | None:
+    """Artifact built by setup.py (nelegan_tpu.data._wavio_native) for
+    pip installs, where the in-repo csrc/ tree is absent.  It is a plain
+    shared library (C symbols, loaded with ctypes), not an importable
+    Python module."""
+    import glob
+    here = os.path.dirname(os.path.abspath(__file__))
+    hits = glob.glob(os.path.join(here, "_wavio_native*.so"))
+    return hits[0] if hits else None
+
+
 def _load_lib():
     global _lib
     if _lib is not None:
         return _lib
     path = build_native()
+    if path is None or not os.path.exists(path):
+        path = _packaged_lib()
     if path is None or not os.path.exists(path):
         _lib = False
         return _lib
