@@ -68,11 +68,19 @@ def measure_ours() -> dict:
 
     cfg = Config()
     clean, noise = _load_toy()
-    clean_p, lengths = pipeline.reflect_pad_batch([clean] * BATCH)
-    noise_p, _ = pipeline.reflect_pad_batch([noise] * BATCH)
+    # ship raw PCM16 and convert on device: identical output (toy wavs are
+    # PCM16, so f32 = int16/32768 exactly; featurize_batch converts with
+    # the same formula) at half the transfer bytes — end-to-end throughput
+    # through the device tunnel is transfer-bound, not compute-bound
+    # (measured: f32 91-105 ms/16-batch vs pcm16 49-63, device-resident 9)
+    clean16 = (clean * 32768.0).astype(np.int16)
+    noise16 = (noise * 32768.0).astype(np.int16)
+    clean_p, lengths = pipeline.reflect_pad_batch([clean16] * BATCH)
+    noise_p, _ = pipeline.reflect_pad_batch([noise16] * BATCH)
     params = Generator().init(
         jax.random.PRNGKey(0), np.zeros((1, 8, 64), np.float32),
         np.zeros((1, 8, 64), np.float32))["params"]
+    params = jax.device_put(params)
 
     @jax.jit
     def step(params, clean_p, noise_p, lengths):
@@ -93,12 +101,32 @@ def measure_ours() -> dict:
     dt = time.perf_counter() - t0
     utts_per_sec = BATCH * STEPS / dt
     flops = _program_flops(step, params, clean_p, noise_p, lengths)
-    return {"utts_per_sec": utts_per_sec,
-            "ms_per_batch": 1000.0 * dt / STEPS,
-            "flops_per_batch": flops,
-            "mfu_enhance": _mfu(flops, dt / STEPS),
-            "platform": jax.devices()[0].platform,
-            "device": str(jax.devices()[0])}
+    res = {"utts_per_sec": utts_per_sec,
+           "ms_per_batch": 1000.0 * dt / STEPS,
+           "flops_per_batch": flops,
+           "mfu_enhance": _mfu(flops, dt / STEPS),
+           "platform": jax.devices()[0].platform,
+           "device": str(jax.devices()[0])}
+
+    # compute ceiling: same program with device-resident inputs at a wide
+    # batch — what a locally-attached chip (PCIe/HBM feeds, no tunnel)
+    # would sustain; the delta vs the headline is pure transfer cost
+    bw = 128
+    cw, lw = pipeline.reflect_pad_batch([clean16] * bw)
+    nw, _ = pipeline.reflect_pad_batch([noise16] * bw)
+    dc, dn, dl = jax.device_put((cw, nw, lw))
+    out = step(params, dc, dn, dl)
+    np.asarray(out)
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        out = step(params, dc, dn, dl)
+    np.asarray(out)
+    dtw = time.perf_counter() - t0
+    res["device_resident_utts_per_sec"] = round(bw * STEPS / dtw, 2)
+    res["device_resident_batch"] = bw
+    fw = _program_flops(step, params, dc, dn, dl)
+    res["mfu_enhance_device_resident"] = _mfu(fw, dtw / STEPS)
+    return res
 
 
 def measure_reference_baseline(n_iters: int = 3) -> float:
@@ -317,6 +345,11 @@ def main():
         "ms_per_batch": round(ours["ms_per_batch"], 2),
         "mfu_enhance": ours.get("mfu_enhance"),
         "flops_per_batch": ours.get("flops_per_batch"),
+        "device_resident_utts_per_sec":
+            ours.get("device_resident_utts_per_sec"),
+        "device_resident_batch": ours.get("device_resident_batch"),
+        "mfu_enhance_device_resident":
+            ours.get("mfu_enhance_device_resident"),
         "platform": ours["platform"],
         **extras,
     }))

@@ -80,7 +80,13 @@ def reflect_pad_batch(wavs: list[np.ndarray], n_max: int | None = None):
     pad = N_FFT // 2
     lens = np.array([len(w) for w in wavs], np.int32)
     n_max = int(n_max or lens.max())
-    out = np.zeros((len(wavs), n_max + N_FFT), np.float32)
+    # int16 (raw PCM) stays int16: reflect-pad only copies samples, so
+    # padding-then-converting on device equals converting-then-padding
+    # bit-for-bit, at half the host->device transfer bytes (the device
+    # tunnel here moves ~25 MB/s — transfer is the enhancement
+    # pipeline's bottleneck, not compute)
+    dt = np.int16 if wavs and wavs[0].dtype == np.int16 else np.float32
+    out = np.zeros((len(wavs), n_max + N_FFT), dt)
     for i, w in enumerate(wavs):
         p = np.pad(w, (pad, pad), mode="reflect")
         out[i, :len(p)] = p
@@ -104,7 +110,16 @@ def featurize_batch(clean_padded: jnp.ndarray, noise_padded: jnp.ndarray,
 
     Valid frames are bit-equal to the reference's per-utterance centered
     STFT; padded-tail frames are garbage and masked downstream.
+
+    int16 inputs are raw PCM16 samples and are converted on device
+    (x / 32768, identical to the host decoder data/wavio.py) — callers
+    feeding the device through the remote tunnel should prefer them:
+    half the transfer bytes for a bit-identical result.
     """
+    if clean_padded.dtype == jnp.int16:
+        clean_padded = clean_padded.astype(jnp.float32) / 32768.0
+    if noise_padded.dtype == jnp.int16:
+        noise_padded = noise_padded.astype(jnp.float32) / 32768.0
     cspec = stft(clean_padded, center=False)         # [B, 257, T]
     nspec = stft(noise_padded, center=False)
     cmag = jnp.abs(cspec)

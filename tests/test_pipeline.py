@@ -183,3 +183,33 @@ def test_eband_from_enhanced_matches_file_path(tmp_path):
         # frames past the valid count are masked downstream; compare the
         # frames the discriminator actually sees
         np.testing.assert_array_equal(pooled[i, :t], from_file[i, :t])
+
+
+def test_featurize_batch_pcm16_input_bitmatches_f32():
+    """int16 (raw PCM16) inputs through reflect_pad_batch + featurize_batch
+    must equal the f32 path bit-for-bit: reflect padding only copies
+    samples, and the on-device conversion (x / 32768) is the host
+    decoder's formula (data/wavio.py).  The PCM16 transfer path halves
+    host->device bytes — the enhancement pipeline's bottleneck on
+    tunnel-attached devices."""
+    import numpy as np
+    from nelegan_tpu import pipeline
+    rng = np.random.RandomState(7)
+    pcm = [rng.randint(-32768, 32768, n).astype(np.int16)
+           for n in (8192, 6000)]
+    f32 = [p.astype(np.float32) / 32768.0 for p in pcm]
+    noise16 = [rng.randint(-2048, 2048, len(p)).astype(np.int16)
+               for p in pcm]
+    noise32 = [p.astype(np.float32) / 32768.0 for p in noise16]
+
+    cp16, lens16 = pipeline.reflect_pad_batch(pcm)
+    cp32, lens32 = pipeline.reflect_pad_batch(f32)
+    assert cp16.dtype == np.int16 and cp32.dtype == np.float32
+    np.testing.assert_array_equal(lens16, lens32)
+    np16, _ = pipeline.reflect_pad_batch(noise16)
+    np32, _ = pipeline.reflect_pad_batch(noise32)
+
+    a = pipeline.featurize_batch(cp16, np16, lens16)
+    b = pipeline.featurize_batch(cp32, np32, lens32)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
