@@ -101,7 +101,8 @@ def score_batch(clean_list, noise_list, enhanced_list, fs: int = 16000,
 def score_corpus(clean_list, noise_list, enhanced_list, fs: int = 16000,
                  norm: bool = True, metrics: Sequence[str] = ALL_METRICS,
                  bucket_quant: int = 16384, vmap_chunk: int = 8, mesh=None,
-                 clean_cache=None, clean_keys: Sequence = None):
+                 clean_cache=None, clean_keys: Sequence = None,
+                 pool_raw_signals: bool = True):
     """Bucketed, vmapped corpus scoring — optionally sharded over a mesh.
 
     Utterances are zero-padded into a few quantised length buckets and each
@@ -131,6 +132,19 @@ def score_corpus(clean_list, noise_list, enhanced_list, fs: int = 16000,
       * any dict-like mapping (e.g. utils.lru.LRUCache) — per chunk
         composition; used for mesh-sharded scoring, where arbitrary-row
         gathers don't compose with the data-axis sharding.
+
+    `pool_raw_signals` (CleanSidePool form only): additionally pool the
+    RAW clean and noise chunk rows on device, so repeat scoring calls
+    upload only the enhanced signal — corpus scoring through the remote
+    tunnel is upload-bound, and clean/noise are immutable across the
+    training loop's epochs.  Requires each clean_keys entry to identify
+    the (clean, noise) PAIR (true in the reference layout, where the
+    noise file is looked up by the clean file's name — audio_util.py:133);
+    pass False if the same key can recur with different noise.  Uploads
+    (and pooled rows) use int16 PCM when every signal in a list
+    round-trips PCM16 exactly — they come from 16-bit wav files
+    (dataloader.py:34-37, train_nele.py:198) — converted back on device
+    for bit-identical scores at half the transfer bytes.
     """
     import jax
     import jax.numpy as jnp
@@ -192,6 +206,14 @@ def score_corpus(clean_list, noise_list, enhanced_list, fs: int = 16000,
                 chunk = idxs[-width:]  # full-width tail (recompute ok)
             chunked.append((blen, chunk))
 
+    # one exactness decision for the whole call: int16 packing is only
+    # bit-safe when EVERY signal is a PCM16 round trip (one mixed chunk
+    # would quantize real float data); checked once per call, a single
+    # numpy pass over each list
+    pcm16_ok = all(_pcm16_exact(s[:m]) for lst in
+                   (clean_list, noise_list, enhanced_list)
+                   for s, m in zip(lst, lens))
+
     pending: list = []
     for blen, idxs in chunked:
         bsz = len(idxs)
@@ -204,29 +226,9 @@ def score_corpus(clean_list, noise_list, enhanced_list, fs: int = 16000,
             alloc *= 2
         alloc = min(max(alloc, dp), width)
         alloc += (-alloc) % dp
-        _t0 = _tick()
-        ref = np.zeros((alloc, blen), np.float32)
-        ne = np.zeros((alloc, blen), np.float32)   # enhanced + noise
-        enh = np.zeros((alloc, blen), np.float32)
-        nv = np.zeros(alloc, np.int32)
-        for j in range(alloc):
-            i = idxs[j] if j < bsz else idxs[0]  # pad rows: rescore row 0
-            m = lens[i]
-            ref[j, :m] = clean_list[i][:m]
-            enh[j, :m] = enhanced_list[i][:m]
-            ne[j, :m] = enhanced_list[i][:m] + noise_list[i][:m]
-            nv[j] = m
-        _tock("pack_s", _t0)
-        _t0 = _tick()
-        ref_j, ne_j, enh_j = map(jnp.asarray, (ref, ne, enh))
-        nv_j = jnp.asarray(nv)
-        _tock("upload_s", _t0, barrier=enh_j)
-        if mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-            row = NamedSharding(mesh, P("data"))
-            ref_j, ne_j, enh_j = (jax.device_put(a, row)
-                                  for a in (ref_j, ne_j, enh_j))
-            nv_j = jax.device_put(nv_j, row)
+        rows_i = [idxs[j] if j < bsz else idxs[0]  # pad rows: rescore row 0
+                  for j in range(alloc)]
+        nv = np.array([lens[i] for i in rows_i], np.int32)
 
         # one chunk-composition key shared by every clean-side cache entry:
         # per-utterance entries would need a re-stack on reuse, and small
@@ -240,8 +242,8 @@ def score_corpus(clean_list, noise_list, enhanced_list, fs: int = 16000,
         # silencing, SIIB tiling), so a same-clean chunk with different
         # trim lengths must not hit a stale entry
         row_keys = (None if clean_keys is None or clean_cache is None else
-                    [(clean_keys[idxs[j] if j < bsz else idxs[0]],
-                      int(nv[j])) for j in range(alloc)])
+                    [(clean_keys[i], int(nv[j]))
+                     for j, i in enumerate(rows_i)])
         key_tuple = None if row_keys is None else (blen,) + tuple(row_keys)
         # a CleanSidePool caches per UTTERANCE (hits under re-shuffled chunk
         # composition); a plain mapping caches per chunk composition.  The
@@ -256,6 +258,59 @@ def score_corpus(clean_list, noise_list, enhanced_list, fs: int = 16000,
             # disabling clean-side caching: fixed-composition chunks (the
             # per-epoch validation corpus) still hit.
             chunk_cache = clean_cache.chunk_cache
+        # dict-like store for small host-side per-utterance values (the
+        # SIIB VAD tiling decision); the pool itself is not dict-like
+        host_cache = pool.chunk_cache if pool is not None else chunk_cache
+
+        def _pack(src_list):
+            """[alloc, blen] chunk rows, PCM16 int16 when every utterance
+            round-trips exactly (half the upload bytes; scoring is
+            transfer-bound through the device tunnel) else f32."""
+            buf = np.zeros((alloc, blen),
+                           np.int16 if pcm16_ok else np.float32)
+            for j, i in enumerate(rows_i):
+                m = lens[i]
+                s = src_list[i][:m]
+                buf[j, :m] = (s * 32768.0).astype(np.int16) \
+                    if pcm16_ok else s
+            return buf
+
+        def _up(buf):
+            a = jnp.asarray(buf)
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                a = jax.device_put(a, NamedSharding(mesh, P("data")))
+            return _pcm16_to_f32(a) if buf.dtype == np.int16 else a
+
+        _t0 = _tick()
+        enh = _pack(enhanced_list)
+        raw_pooled = pool is not None and pool_raw_signals
+        if not raw_pooled:
+            ref_h, noz_h = _pack(clean_list), _pack(noise_list)
+        _tock("pack_s", _t0)
+        _t0 = _tick()
+        enh_j = _up(enh)
+        if raw_pooled:
+            # clean and noise are immutable across scoring calls: their
+            # rows live in the device pool, keyed like every clean-side
+            # entry, so steady-state epochs upload ONLY the enhanced
+            # signal (1 int16 buffer vs 3 f32 = 6x fewer bytes; upload
+            # was the dominant warm score_corpus cost, 15 of 37 s at
+            # 300 utterances)
+            ref_j = pool.ensure(("raw-ref", blen), row_keys,
+                                lambda: _up(_pack(clean_list)))
+            noz_j = pool.ensure(("raw-noz", blen), row_keys,
+                                lambda: _up(_pack(noise_list)))
+        else:
+            ref_j, noz_j = _up(ref_h), _up(noz_h)
+        # enhanced + noise on device: f32 add of identical f32 values ==
+        # the host-side sum it replaces, bit for bit
+        ne_j = _f32_add(noz_j, enh_j)
+        nv_j = jnp.asarray(nv)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            nv_j = jax.device_put(nv_j, NamedSharding(mesh, P("data")))
+        _tock("upload_s", _t0, barrier=ne_j)
 
         def cached_clean(name, shape_sig, compute):
             """Clean-side entry via whichever cache form is active: the
@@ -324,18 +379,33 @@ def score_corpus(clean_list, noise_list, enhanced_list, fs: int = 16000,
             max_tiled = 2_097_152
             _t0 = _tick()
             sv = np.zeros(alloc, np.int32)
-            for j in range(alloc):
+            for j, i in enumerate(rows_i):
                 nvj = int(nv[j])
-                active = _vad_mask(ref[j, :nvj]).sum() / (fs / SIIB_HOP)
-                m_fac = (max(int(np.floor(25.0 / max(active, 0.25))), 1)
-                         if active < 20 else 1)
-                m_fac = min(m_fac, max(max_tiled // max(nvj, 1), 1))
-                sv[j] = m_fac * nvj
+                # host cache: the VAD decision is a pure function of
+                # (clean signal, trim length) and the training loop
+                # rescores the same clean corpus every epoch
+                ck = (None if row_keys is None
+                      else ("siib-vad",) + row_keys[j])
+                svj = (host_cache.get(ck)
+                       if ck is not None and host_cache is not None
+                       else None)
+                if svj is None:
+                    active = (_vad_mask(clean_list[i][:nvj]).sum()
+                              / (fs / SIIB_HOP))
+                    m_fac = (max(int(np.floor(
+                        25.0 / max(active, 0.25))), 1)
+                        if active < 20 else 1)
+                    m_fac = min(m_fac, max(max_tiled // max(nvj, 1), 1))
+                    svj = m_fac * nvj
+                    if ck is not None and host_cache is not None:
+                        host_cache[ck] = svj
+                sv[j] = svj
             _tock("vad_s", _t0)
             sb = -(-int(sv.max()) // bucket_quant) * bucket_quant
             sv_j = jnp.asarray(sv)
             if mesh is not None:
-                sv_j = jax.device_put(sv_j, row)
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                sv_j = jax.device_put(sv_j, NamedSharding(mesh, P("data")))
 
             def _tile_mod(sig, nvj, svj):
                 # Tried and rejected (r2): replacing this modulo-gather
@@ -372,16 +442,30 @@ def score_corpus(clean_list, noise_list, enhanced_list, fs: int = 16000,
 
         pending.append((idxs, out))
 
-    # fetch AFTER every chunk has been dispatched: a per-chunk fetch would
-    # block the host (next chunk's VAD/packing/upload) on the device and
-    # the device on the host, serialising the pipeline through the tunnel
+    # fetch AFTER every chunk has been dispatched, as ONE device->host
+    # transfer: a per-chunk fetch would serialise host and device through
+    # the tunnel, and a per-(chunk, metric) np.asarray costs a full round
+    # trip each — 38 chunks x 5 metrics measured 5.4 s of pure RTT
     _t0 = _tick()
-    for idxs, out in pending:
-        fetched = {k: np.asarray(v) for k, v in out.items()}
-        for j, i in enumerate(idxs):
-            for m in metrics:
-                raw = float(fetched[m][j])
-                results[i][m] = float(mappers[m](raw)) if norm else raw
+    if pending:
+        mlist = list(pending[0][1].keys())
+        dt = jnp.result_type(*(v for _, out in pending
+                               for v in out.values()))
+        flat = jnp.concatenate(
+            [jnp.stack([out[m].astype(dt) for m in mlist]).ravel()
+             for _, out in pending])
+        vals = np.asarray(flat)  # single fetch
+        off = 0
+        for idxs, out in pending:
+            alloc = int(out[mlist[0]].shape[0])
+            chunk = vals[off:off + len(mlist) * alloc].reshape(
+                len(mlist), alloc)
+            off += len(mlist) * alloc
+            for j, i in enumerate(idxs):
+                for k, m in enumerate(mlist):
+                    raw = float(chunk[k, j])
+                    results[i][m] = (float(mappers[m](raw)) if norm
+                                     else raw)
     _tock("fetch_s", _t0)
     if _timing is not None:
         global LAST_TIMING
@@ -394,4 +478,35 @@ def score_corpus(clean_list, noise_list, enhanced_list, fs: int = 16000,
 
 #: last score_corpus section breakdown under NELE_SCORE_TIMING=1
 LAST_TIMING: Dict[str, Any] = {}
+
+
+def _pcm16_exact(x) -> bool:
+    """True iff float32(x) * 32768 is integral and in int16 range — i.e.
+    int16 packing + on-device /32768 reproduces x bit for bit."""
+    s = np.asarray(x, np.float32) * np.float32(32768.0)
+    if s.size == 0:
+        return True
+    return bool(((s >= -32768) & (s <= 32767) & (s == np.round(s))).all())
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_helpers():
+    """Shared jitted one-op programs (a fresh jax.jit wrapper per call
+    would recompile every time — remote compiles cost seconds)."""
+    import jax
+    import jax.numpy as jnp
+    return (jax.jit(lambda v: v.astype(jnp.float32) / 32768.0),
+            jax.jit(lambda x, y: x + y))
+
+
+def _pcm16_to_f32(a):
+    """On-device PCM16 -> f32, the decoder's formula (data/wavio.py)."""
+    return _jit_helpers()[0](a)
+
+
+def _f32_add(a, b):
+    return _jit_helpers()[1](a, b)
 

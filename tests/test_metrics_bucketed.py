@@ -166,3 +166,63 @@ def test_haspi_clean_cache_matches(triples):
     for a, b in zip(direct + warm_direct, cold + warm):
         assert abs(a["haspi"] - b["haspi"]) < 2e-3 * max(abs(a["haspi"]),
                                                          1.0), (a, b)
+
+
+def _pcm16(x):
+    return np.round(np.clip(x, -1, 1) * 32768.0).clip(-32768, 32767) / 32768.0
+
+
+def test_raw_signal_pool_and_pcm16_uploads_match(triples):
+    """The raw-signal device pool (pool_raw_signals) and the int16 PCM
+    transfer path must not change any score: warm pooled calls — which
+    upload only the enhanced signal and gather clean/noise rows from the
+    pool — must equal unpooled f32 scoring exactly, and a changed enhanced
+    signal must change the scores (the pool must never cache it)."""
+    from nelegan_tpu.metrics.clean_pool import CleanSidePool
+    metrics = ("estoi", "siib", "pesq")
+    # PCM16-exact signals, like every file the training loop scores
+    cleans = [_pcm16(t[0]).astype(np.float32) for t in triples]
+    noises = [_pcm16(t[1]).astype(np.float32) for t in triples]
+    enhs = [_pcm16(t[2]).astype(np.float32) for t in triples]
+    keys = [f"u{i}" for i in range(len(cleans))]
+
+    base = score_corpus(cleans, noises, enhs, norm=False, metrics=metrics,
+                        pool_raw_signals=False)
+    pool = CleanSidePool()
+    cold = score_corpus(cleans, noises, enhs, norm=False, metrics=metrics,
+                        clean_cache=pool, clean_keys=keys)
+    warm = score_corpus(cleans, noises, enhs, norm=False, metrics=metrics,
+                        clean_cache=pool, clean_keys=keys)
+    for b, c, w in zip(base, cold, warm):
+        for m in metrics:
+            assert np.isclose(b[m], c[m], rtol=1e-6, atol=1e-7), (m, b, c)
+            assert c[m] == w[m], (m, c, w)  # warm gather is bit-stable
+
+    # a new enhanced signal through the warm pool must change scores
+    enhs2 = [_pcm16(t[2] * 0.5 + 0.01 * t[1]).astype(np.float32)
+             for t in triples]
+    warm2 = score_corpus(cleans, noises, enhs2, norm=False, metrics=metrics,
+                         clean_cache=pool, clean_keys=keys)
+    assert any(w2[m] != w[m] for w2, w in zip(warm2, warm)
+               for m in metrics)
+
+
+def test_non_pcm16_floats_fall_back_exactly(triples):
+    """Arbitrary float signals (not PCM16 round trips) must skip the int16
+    packing and still score identically with and without the pool."""
+    from nelegan_tpu.metrics.clean_pool import CleanSidePool
+    from nelegan_tpu.metrics import _pcm16_exact
+    metrics = ("estoi",)
+    cleans = [t[0] * 0.77701 for t in triples]   # breaks integrality
+    noises = [t[1] * 1.0301 for t in triples]
+    enhs = [t[2] * 0.9137 for t in triples]
+    assert not _pcm16_exact(cleans[0])
+    base = score_corpus(cleans, noises, enhs, norm=False, metrics=metrics,
+                        pool_raw_signals=False)
+    pool = CleanSidePool()
+    score_corpus(cleans, noises, enhs, norm=False, metrics=metrics,
+                 clean_cache=pool, clean_keys=["a", "b", "c"])
+    warm = score_corpus(cleans, noises, enhs, norm=False, metrics=metrics,
+                        clean_cache=pool, clean_keys=["a", "b", "c"])
+    for b, w in zip(base, warm):
+        assert np.isclose(b["estoi"], w["estoi"], rtol=1e-6), (b, w)
