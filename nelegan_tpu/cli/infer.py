@@ -77,7 +77,8 @@ def main(argv=None):
                                          batch.lengths, cfg.train.p_power)
         wavs, _, out_lens = pipeline.enhance_batch(
             state.gen_params, feats, cfg.train.p_power, cfg.train.target_rms)
-        wavs = np.asarray(wavs)
+        # int16 fetch: half the device->host bytes, byte-identical files
+        wavs = np.asarray(pipeline.pcm16_quantize_i16(wavs))
         for i, name in enumerate(batch.names):
             path = os.path.join(args.output, f"{name[:-4]}@1.wav")
             write_wav_pcm16(path, wavs[i, :int(out_lens[i])], cfg.train.fs)

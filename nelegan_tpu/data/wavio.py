@@ -159,7 +159,16 @@ def read_wav_batch(paths: Sequence[str], max_len: int,
 
 
 def write_wav_pcm16(path: str, data: np.ndarray, fs: int = 16000) -> None:
-    """PCM16 writer matching soundfile's clipping/rounding."""
+    """PCM16 writer matching soundfile's clipping/rounding.
+
+    int16 input is written as-is (already-quantized samples, e.g. from
+    pipeline.pcm16_quantize_i16 fetched off-device at half the transfer
+    bytes) — byte-identical to the float path because the device
+    quantizer replicates this function's clip/round exactly."""
+    if data.dtype == np.int16:
+        import scipy.io.wavfile
+        scipy.io.wavfile.write(path, fs, np.ascontiguousarray(data))
+        return
     lib = _load_lib()
     data = np.ascontiguousarray(data, np.float32)
     if lib:

@@ -201,6 +201,20 @@ def pcm16_quantize(wav: jnp.ndarray) -> jnp.ndarray:
 
 
 @jax.jit
+def pcm16_quantize_i16(wav: jnp.ndarray) -> jnp.ndarray:
+    """pcm16_quantize's integer form: the exact int16 samples the PCM16
+    file will hold.  Fetching these instead of f32 halves the
+    device->host transfer for every written wav (the enhance phases are
+    transfer-bound through the remote tunnel); write them with
+    data/wavio.write_wav_pcm16, whose int16 path skips re-quantization,
+    for byte-identical files."""
+    v = jnp.clip(wav, -1.0, 1.0)
+    s = jnp.minimum(v * jnp.float32(32768.0), jnp.float32(32767.0))
+    q = jnp.where(s >= 0, jnp.floor(s + 0.5), jnp.ceil(s - 0.5))
+    return q.astype(jnp.int16)
+
+
+@jax.jit
 def reflect_pad_device(wav: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
     """Device replica of reflect_pad_batch for device-resident rows.
 

@@ -243,7 +243,11 @@ class Trainer:
             wavs, _, out_lens = pipeline.enhance_batch(
                 self.state.gen_params, feats, self.cfg.train.p_power,
                 self.cfg.train.target_rms)
-            yield (batch.names, np.asarray(wavs)[:b],
+            # fetch the int16 PCM samples the files will hold (half the
+            # device->host bytes; byte-identical files — the device
+            # quantizer replicates the writer's clip/round)
+            yield (batch.names,
+                   np.asarray(pipeline.pcm16_quantize_i16(wavs))[:b],
                    np.asarray(out_lens)[:b], (wavs, out_lens))
 
     def _write_enhanced(self, index: CorpusIndex, paths: Sequence[str],

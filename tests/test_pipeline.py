@@ -213,3 +213,33 @@ def test_featurize_batch_pcm16_input_bitmatches_f32():
     b = pipeline.featurize_batch(cp32, np32, lens32)
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_pcm16_quantize_i16_writes_identical_files(tmp_path):
+    """Fetching device-quantized int16 (pcm16_quantize_i16) and writing it
+    raw must produce byte-identical files to the f32 fetch + host
+    quantization path — including clipping and round-half-away ties."""
+    import numpy as np
+    from nelegan_tpu import pipeline
+    from nelegan_tpu.data.wavio import write_wav_pcm16, read_wav
+    rng = np.random.RandomState(3)
+    wav = np.concatenate([
+        rng.randn(4096).astype(np.float32) * 0.4,
+        np.array([1.5, -1.5, 1.0, -1.0,                # clipping
+                  0.5 / 32768, -0.5 / 32768,           # round-half ties
+                  32766.5 / 32768, -32767.5 / 32768],
+                 np.float32)])
+    f32_path = str(tmp_path / "f32.wav")
+    i16_path = str(tmp_path / "i16.wav")
+    write_wav_pcm16(f32_path, wav)
+    q = np.asarray(pipeline.pcm16_quantize_i16(wav))
+    assert q.dtype == np.int16
+    write_wav_pcm16(i16_path, q)
+    a = open(f32_path, "rb").read()
+    b = open(i16_path, "rb").read()
+    # audio payloads must match sample for sample (header layout may
+    # differ between the native writer and scipy)
+    assert a[-2 * len(wav):] == b[-2 * len(wav):]
+    wa, _ = read_wav(f32_path)
+    wb, _ = read_wav(i16_path)
+    np.testing.assert_array_equal(wa, wb)
