@@ -285,8 +285,6 @@ def score_corpus(clean_list, noise_list, enhanced_list, fs: int = 16000,
         _t0 = _tick()
         enh = _pack(enhanced_list)
         raw_pooled = pool is not None and pool_raw_signals
-        if not raw_pooled:
-            ref_h, noz_h = _pack(clean_list), _pack(noise_list)
         _tock("pack_s", _t0)
         _t0 = _tick()
         enh_j = _up(enh)
@@ -301,8 +299,19 @@ def score_corpus(clean_list, noise_list, enhanced_list, fs: int = 16000,
                                 lambda: _up(_pack(clean_list)))
             noz_j = pool.ensure(("raw-noz", blen), row_keys,
                                 lambda: _up(_pack(noise_list)))
+        elif (pool_raw_signals and key_tuple is not None
+              and chunk_cache is not None):
+            # mesh-sharded (chunk-keyed) form of the same idea: fixed
+            # chunk compositions — the per-epoch validation corpus —
+            # skip the clean/noise upload on every call after the first
+            rk = ("raw-signals",) + key_tuple
+            rv = chunk_cache.get(rk)
+            if rv is None:
+                rv = (_up(_pack(clean_list)), _up(_pack(noise_list)))
+                chunk_cache[rk] = rv
+            ref_j, noz_j = rv
         else:
-            ref_j, noz_j = _up(ref_h), _up(noz_h)
+            ref_j, noz_j = _up(_pack(clean_list)), _up(_pack(noise_list))
         # enhanced + noise on device: f32 add of identical f32 values ==
         # the host-side sum it replaces, bit for bit
         ne_j = _f32_add(noz_j, enh_j)

@@ -226,3 +226,32 @@ def test_non_pcm16_floats_fall_back_exactly(triples):
                         clean_cache=pool, clean_keys=["a", "b", "c"])
     for b, w in zip(base, warm):
         assert np.isclose(b["estoi"], w["estoi"], rtol=1e-6), (b, w)
+
+
+def test_chunk_keyed_raw_signal_cache_matches(triples):
+    """The chunk-keyed raw-signal cache (dict-like clean_cache — the
+    mesh-sharded form) must skip the clean/noise upload on repeat calls
+    with fixed chunk composition without changing any score, and must
+    still see a changed enhanced signal."""
+    metrics = ("estoi", "siib")
+    cleans = [_pcm16(t[0]).astype(np.float32) for t in triples]
+    noises = [_pcm16(t[1]).astype(np.float32) for t in triples]
+    enhs = [_pcm16(t[2]).astype(np.float32) for t in triples]
+    keys = ["a", "b", "c"]
+    base = score_corpus(cleans, noises, enhs, norm=False, metrics=metrics,
+                        pool_raw_signals=False)
+    cache = {}
+    cold = score_corpus(cleans, noises, enhs, norm=False, metrics=metrics,
+                        clean_cache=cache, clean_keys=keys)
+    assert any(isinstance(k, tuple) and k[0] == "raw-signals"
+               for k in cache)
+    warm = score_corpus(cleans, noises, enhs, norm=False, metrics=metrics,
+                        clean_cache=cache, clean_keys=keys)
+    for b, c, w in zip(base, cold, warm):
+        for m in metrics:
+            assert np.isclose(b[m], c[m], rtol=1e-6), (m, b, c)
+            assert c[m] == w[m], (m, c, w)
+    enhs2 = [e * np.float32(0.5) for e in enhs]
+    warm2 = score_corpus(cleans, noises, enhs2, norm=False, metrics=metrics,
+                         clean_cache=cache, clean_keys=keys)
+    assert any(w2[m] != w[m] for w2, w in zip(warm2, warm) for m in metrics)
