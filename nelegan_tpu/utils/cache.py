@@ -11,6 +11,14 @@ pay full remote compiles regardless.  The mitigations that do work are
 structural and already in place: fixed-width bucket padding, power-of-two
 chunk widths, and shape-stable per-epoch programs, which bound the number
 of distinct compiles per run.
+
+Tried and rejected (r4, measured on the tunnel-attached v5e): a threaded
+compile warm-up that dispatches the run's known program shapes from a
+thread pool before epoch 1.  Three distinct fresh programs compiled in
+3.4 s serially vs 4.7 s from 3 threads (0.73x) — the remote compile
+service serialises requests (or the client does), so concurrency only
+adds tracing/GIL overhead.  Re-try only if the axon backend starts
+serialising executables or its compile service becomes concurrent.
 """
 from __future__ import annotations
 
