@@ -84,10 +84,13 @@ def main(argv=None):
                 state.gen_params, feats, cfg.train.p_power,
                 cfg.train.target_rms)
             wavs = np.asarray(wavs)
+            # one fetch for the batch's lengths (int(out_lens[i]) would
+            # cost a tunnel round trip per utterance)
+            out_lens = np.asarray(out_lens)
             for i, name in enumerate(batch.names):
                 clean, _ = read_wav(os.path.join(args.test_clean, name))
                 noise, _ = read_wav(os.path.join(args.test_noise, name))
-                enh = wavs[i, :int(out_lens[i])]
+                enh = wavs[i, :out_lens[i]]
                 m = min(len(enh), len(noise), len(clean))
                 enh, noise, clean = enh[:m], noise[:m], clean[:m]
                 if rir is None:

@@ -449,6 +449,15 @@ def score_corpus(clean_list, noise_list, enhanced_list, fs: int = 16000,
                 _timing[m_name + "_s"] = (_timing.get(m_name + "_s", 0.0)
                                           + _time.perf_counter() - _t0)
 
+        if mesh is not None and jax.devices()[0].platform == "cpu":
+            # serialise partitioned chunk programs: XLA:CPU's in-process
+            # collective rendezvous F-check-aborts when two partitioned
+            # programs' tasks interleave on the shared runtime pool (racy;
+            # reproduced on the 8-virtual-device test mesh — see
+            # train/loop.py Trainer._mesh_barrier).  Real TPU meshes run
+            # collectives on ICI without host-thread rendezvous.
+            jax.block_until_ready(list(out.values()))
+
         pending.append((idxs, out))
 
     # fetch AFTER every chunk has been dispatched, as ONE device->host

@@ -124,6 +124,12 @@ class Trainer:
         self._band_cache = LRUCache(max_entries=4096)
         # scores of the immutable pre-enhanced (SSDRC) corpus, once per file
         self._drc_score_cache: Dict[str, Dict[str, float]] = {}
+        # host RAM copy of wav samples by path: scoring re-reads the same
+        # immutable clean/noise files every epoch and the just-written
+        # enhanced files right back (reference behavior, train_nele.py:
+        # 318-340) — the round 3 driver host has ONE core, so 900 decodes
+        # per epoch are real time.  ~70 KB/entry x 4096 caps at ~0.3 GB.
+        self._host_sig = LRUCache(max_entries=4096)
 
         # data-parallel training: shard the utterance batch over all
         # devices (ragged batches are padded by repetition in _maybe_shard)
@@ -153,12 +159,32 @@ class Trainer:
             # epoch re-samples the same underlying corpus.
             self._dev_bands = CleanSidePool(max_rows_per_shape=1024,
                                             max_bytes=768 << 20)
+            # host-side min(len(clean), len(noise)) per clean path, filled
+            # when raw-signal rows are pooled (_pooled_raw_signals): pool
+            # hits must not read wav headers to recover lengths
+            self._pair_len: Dict[str, int] = {}
         else:
             from nelegan_tpu.utils.lru import LRUCache
             self._clean_side_cache = LRUCache(max_entries=192)
             # arbitrary-row device gathers don't compose with sharded
             # batches; the mesh path keeps the host band cache only
             self._dev_bands = None
+            self._pair_len = {}
+
+    def _mesh_barrier(self, x) -> None:
+        """Bound in-flight partitioned programs to ONE on a CPU-backed mesh.
+
+        XLA:CPU's in-process collectives rendezvous across one runtime
+        thread per partition; when two partitioned programs' tasks
+        interleave on the shared pool, each holds threads the other needs
+        and the rendezvous F-check aborts the process after 40 s
+        ("Expected 8 threads to join ... only 5 arrived" — reproduced on
+        the 8-virtual-device test mesh; racy, more likely the faster the
+        host dispatches).  Blocking on each program's output serialises
+        them.  Real TPU meshes run collectives on ICI without host-thread
+        rendezvous, so this is CPU-only."""
+        if self.mesh is not None and jax.devices()[0].platform == "cpu":
+            jax.block_until_ready(x)
 
     def _maybe_shard(self, *arrays):
         """Shard a batch over the data axis, padding ragged batches by
@@ -225,30 +251,47 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def _enhance_batches(self, index: CorpusIndex, paths: Sequence[str]):
-        """Yield (names, wavs [B, n], out_lens) over bucketed batches.
+        """Yield (names, pcm16_wavs_dev [B, n], out_lens_dev, dev) device
+        handles over bucketed batches (no fetch — callers batch transfers).
 
         Ragged tail batches are padded to the fixed batch size (repeating
         the last utterance) so every epoch reuses the same compiled
-        (batch, bucket) programs; the padded rows are dropped on yield."""
+        (batch, bucket) programs; the padded rows are dropped on yield.
+
+        The raw clean/noise signals are immutable across epochs, so on the
+        single-chip (pool) path their reflect-padded rows live in the
+        device pool keyed (clean_path, bucket): warm epochs gather them
+        on device instead of re-reading 2 wav files per utterance and
+        re-uploading them through the ~25 MB/s tunnel (enhancement is
+        transfer-bound, not compute-bound — see bench.py's device-resident
+        ceiling)."""
         loader = BucketedLoader(index, batch_size=self.cfg.train.batch_size,
                                 shuffle=False)
         for group_paths in loader._batches(paths):
-            batch = loader.load_group(group_paths)
-            b = len(batch.names)
-            clean, noise, lengths = self._pad_batch_rows(
-                (batch.clean, batch.noise, batch.lengths),
-                self.cfg.train.batch_size)
+            pooled = (self._pooled_raw_signals(index, group_paths, loader)
+                      if self._dev_bands is not None else None)
+            if pooled is not None:
+                names = [index.name(p) for p in group_paths]
+                clean, noise, lengths = pooled
+            else:
+                batch = loader.load_group(group_paths)
+                names = batch.names
+                clean, noise, lengths = self._pad_batch_rows(
+                    (batch.clean, batch.noise, batch.lengths),
+                    self.cfg.train.batch_size)
             feats = pipeline.featurize_batch(clean, noise, lengths,
                                              self.cfg.train.p_power)
             wavs, _, out_lens = pipeline.enhance_batch(
                 self.state.gen_params, feats, self.cfg.train.p_power,
                 self.cfg.train.target_rms)
-            # fetch the int16 PCM samples the files will hold (half the
-            # device->host bytes; byte-identical files — the device
-            # quantizer replicates the writer's clip/round)
-            yield (batch.names,
-                   np.asarray(pipeline.pcm16_quantize_i16(wavs))[:b],
-                   np.asarray(out_lens)[:b], (wavs, out_lens))
+            # yield DEVICE handles: the int16 PCM samples the files will
+            # hold (half the device->host bytes; byte-identical files —
+            # the device quantizer replicates the writer's clip/round).
+            # The caller fetches all batches in one transfer: a per-batch
+            # np.asarray costs a tunnel round trip (~28 ms) and stalls the
+            # dispatch pipeline between batches.
+            yield (names, pipeline.pcm16_quantize_i16(wavs), out_lens,
+                   (wavs, out_lens))
 
     def _write_enhanced(self, index: CorpusIndex, paths: Sequence[str],
                         out_dir: str, epoch: int,
@@ -258,33 +301,73 @@ class Trainer:
         os.makedirs(out_dir, exist_ok=True)
         if alt_dir:
             os.makedirs(alt_dir, exist_ok=True)
-        written = []
+        import jax.numpy as jnp
+        # pass 1: dispatch every batch (device handles only) so the chip
+        # pipelines featurize/enhance/quantize across the whole corpus.
+        # Under a CPU mesh, _mesh_barrier serialises the batches: with
+        # mesh-replicated params every enhance program is an N-partition
+        # computation, and concurrent partitioned programs deadlock
+        # XLA:CPU's collective rendezvous (see _mesh_barrier).
+        batches = []
         count = 0
-        for names, wavs, out_lens, dev in self._enhance_batches(index,
-                                                                paths):
+        for names, q_dev, lens_dev, dev in self._enhance_batches(index,
+                                                                 paths):
+            self._mesh_barrier(q_dev)
             batch_paths = []
-            for i, name in enumerate(names):
+            for name in names:
                 base = f"{name[:-4]}@{epoch}{name[-4:]}"
                 target = out_dir if count < keep_first else alt_dir
-                p = os.path.join(target, base)
-                write_wav_pcm16(p, wavs[i, :out_lens[i]], self.cfg.train.fs)
-                written.append(p)
-                batch_paths.append(p)
+                batch_paths.append(os.path.join(target, base))
                 count += 1
+            batches.append((batch_paths, q_dev, lens_dev))
             if pool_ebands and self._dev_bands is not None:
                 # the just-written files' band rows, computed from the
                 # device wavs (PCM16-quantized on device, bit-exact vs the
                 # file — gan.eband_from_enhanced): D pass 1 starts warm
-                wavs_dev, lens_dev = dev
+                wavs_dev, lens_dev2 = dev
                 blen = wavs_dev.shape[-1]
                 bs = wavs_dev.shape[0]
                 keys = [(p, blen) for p in batch_paths]
                 keys += [keys[-1]] * (bs - len(keys))
                 self._dev_bands.ensure(
                     ("eb", blen), keys,
-                    lambda: gan.eband_from_enhanced(wavs_dev, lens_dev,
+                    lambda: gan.eband_from_enhanced(wavs_dev, lens_dev2,
                                                     self.cfg))
+        if not batches:
+            return []
+        # pass 2: TWO device->host transfers for the whole corpus (samples
+        # + lengths) instead of two blocking round trips per batch
+        flat = np.asarray(jnp.concatenate(
+            [q.ravel() for _, q, _ in batches]))
+        lens = np.asarray(jnp.concatenate(
+            [l for _, _, l in batches]))
+        written = []
+        off = loff = 0
+        for batch_paths, q_dev, _ in batches:
+            bs, blen = q_dev.shape
+            wavs = flat[off:off + bs * blen].reshape(bs, blen)
+            out_lens = lens[loff:loff + bs]
+            off += bs * blen
+            loff += bs
+            for i, p in enumerate(batch_paths):
+                write_wav_pcm16(p, wavs[i, :out_lens[i]], self.cfg.train.fs)
+                # score_for_d reads this file right back (the reference's
+                # file round trip, train_nele.py:279-340); keep the samples
+                # in the host cache — int16/32768 is exactly what read_wav
+                # returns for the PCM16 file just written
+                self._host_sig[p] = (
+                    wavs[i, :out_lens[i]].astype(np.float32) / 32768.0)
+                written.append(p)
         return written
+
+    def _cached_read(self, path: str) -> np.ndarray:
+        """read_wav through the host signal cache (files are immutable for
+        the duration of a run — the reference's own contract)."""
+        sig = self._host_sig.get(path)
+        if sig is None:
+            sig = read_wav(path)[0]
+            self._host_sig[path] = sig
+        return sig
 
     def _score_files(self, index: CorpusIndex, enhanced_paths: Sequence[str],
                      norm: bool, metrics: Sequence[str]
@@ -296,9 +379,10 @@ class Trainer:
             name = base.split("@")[0] + ".wav" if "@" in base else base
             cpath = index.clean_path_for(name)
             keys.append(cpath)
-            cleans.append(read_wav(cpath)[0])
-            noises.append(read_wav(os.path.join(index.noise_dir, name))[0])
-            enhs.append(read_wav(p)[0])
+            cleans.append(self._cached_read(cpath))
+            noises.append(self._cached_read(
+                os.path.join(index.noise_dir, name)))
+            enhs.append(self._cached_read(p))
         return score_corpus(cleans, noises, enhs, self.cfg.train.fs,
                             norm=norm, metrics=metrics, mesh=self.mesh,
                             clean_cache=self._clean_side_cache,
@@ -347,6 +431,60 @@ class Trainer:
                                       batch_size - b, axis=0)], axis=0)
             for a in arrays)
 
+    def _pooled_raw_signals(self, index: CorpusIndex,
+                            group_paths: Sequence[str], loader):
+        """Reflect-padded raw (clean, noise) rows for one same-bucket group,
+        padded to the fixed batch size, gathered from the device pool.
+
+        Rows are stored as int16 PCM (featurize_batch converts on device
+        with the decoder's formula — bit-identical, half the HBM and
+        upload bytes), so pooling only engages when the group round-trips
+        PCM16 exactly; a float-valued group returns None and the caller
+        falls back to per-epoch reads (correctness over residency).
+        Misses read + pad + upload the group once; hits touch neither the
+        filesystem nor the host->device path."""
+        import jax.numpy as jnp
+        from nelegan_tpu.data.pipeline import _bucket_len
+        bs = self.cfg.train.batch_size
+        blen = _bucket_len(max(index.length(p) for p in group_paths),
+                           loader.bucket_quant)
+        padded = list(group_paths) + \
+            [group_paths[-1]] * (bs - len(group_paths))
+        keys = [(p, blen) for p in padded]
+
+        class _NotPCM16(Exception):
+            pass
+
+        def compute():
+            batch = loader.load_group(group_paths)
+            clean, noise, lengths = self._pad_batch_rows(
+                (batch.clean, batch.noise, batch.lengths), bs)
+            cs = np.asarray(clean, np.float32) * np.float32(32768.0)
+            ns = np.asarray(noise, np.float32) * np.float32(32768.0)
+            if not (((cs >= -32768) & (cs <= 32767)
+                     & (cs == np.round(cs))).all()
+                    and ((ns >= -32768) & (ns <= 32767)
+                         & (ns == np.round(ns))).all()):
+                raise _NotPCM16  # float-valued corpus: caller falls back
+            for p, ln in zip(padded, lengths):
+                self._pair_len[p] = int(ln)
+            return (jnp.asarray(cs.astype(np.int16)),
+                    jnp.asarray(ns.astype(np.int16)))
+
+        try:
+            clean_i16, noise_i16 = self._dev_bands.ensure(
+                ("raw-cn", blen), keys, compute)
+        except _NotPCM16:
+            return None
+        if not all((p in self._pair_len) for p in padded):
+            # pool rows survived from a previous Trainer sharing the pool
+            # object but the host length map didn't — unknown lengths,
+            # fall back to the read path (cannot happen in normal runs:
+            # _pair_len is filled whenever rows are inserted)
+            return None
+        lengths = np.asarray([self._pair_len[p] for p in padded], np.int32)
+        return clean_i16, noise_i16, lengths
+
     def _pooled_cn_bands(self, group_paths: Sequence[str]):
         """(clean_band, noise_band, frames) for a same-bucket path group,
         padded to the fixed batch size, gathered from the device pool.
@@ -383,7 +521,8 @@ class Trainer:
             # trim to the clean bucket: a pre-enhanced (SSDRC) file can be
             # a few samples longer than its clean counterpart, which would
             # overflow the fixed reflect-pad buffer
-            enhs = [read_wav(e.enhanced_path)[0][:blen] for e in group]
+            enhs = [self._cached_read(e.enhanced_path)[:blen]
+                    for e in group]
             ep, _ = pipeline.reflect_pad_batch(enhs, blen)
             ep = self._pad_batch_rows((ep,), bs)[0]
             return gan.speech_band(ep, self.cfg)
@@ -414,6 +553,7 @@ class Trainer:
                 self.state, *args[:-1], self.cfg,
                 intel_cols=self._intel_cols, quality_cols=self._qua_cols,
                 row_valid=args[-1])
+            self._mesh_barrier(loss)
             losses.append(loss)
         import jax.numpy as jnp
         return float(np.mean(np.asarray(jnp.stack(losses)))) \
@@ -518,7 +658,8 @@ class Trainer:
                 # trim to the clean bucket: a pre-enhanced (SSDRC) file
                 # can be a few samples longer than its clean counterpart,
                 # which would overflow the fixed reflect-pad buffer
-                enhs = [read_wav(e.enhanced_path)[0][:tlen] for e in group]
+                enhs = [self._cached_read(e.enhanced_path)[:tlen]
+                        for e in group]
                 ep, _ = pipeline.reflect_pad_batch(enhs, tlen)
                 ep, nb, cb, frames = self._pad_batch_rows(
                     (ep, nb, cb, frames), bs)
@@ -531,6 +672,7 @@ class Trainer:
                     intel_cols=self._intel_cols,
                     quality_cols=self._qua_cols,
                     row_valid=args[-1])
+            self._mesh_barrier(ld)
             losses.append((ld, lq))
         if not losses:
             return []

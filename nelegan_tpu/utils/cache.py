@@ -26,9 +26,16 @@ import os
 
 
 def enable_compilation_cache(directory: str | None = None) -> str | None:
+    """NELE_COMPILE_CACHE=off (or 0/none) disables the persistent cache
+    entirely: its zstandard read/write paths have crashed the process on
+    some hosts (a corrupt entry SIGABRTs the reader; one box segfaulted
+    in put_executable_and_time while writing) — tests/conftest.py opts
+    out, trading warm-rerun compile time for reliability."""
     directory = directory or os.environ.get(
         "NELE_COMPILE_CACHE",
         os.path.expanduser("~/.cache/nelegan_tpu_xla"))
+    if str(directory).lower() in ("off", "0", "none", "disabled"):
+        return None
     try:
         import jax
         os.makedirs(directory, exist_ok=True)

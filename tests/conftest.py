@@ -11,6 +11,12 @@ import os
 # defers to the ambient backend registration (a tunnel-attached chip
 # registers as platform 'axon' — forcing JAX_PLATFORMS=tpu there fails
 # with "no jellyfish device"); any other value is forced verbatim.
+# The persistent XLA compile cache's zstandard read/write paths have
+# crashed the process on some hosts (corrupt-entry SIGABRT on read; a
+# segfault inside put_executable_and_time on write) — run tests without
+# it unless the caller explicitly points NELE_COMPILE_CACHE somewhere.
+os.environ.setdefault("NELE_COMPILE_CACHE", "off")
+
 _plat = os.environ.get("NELE_TEST_PLATFORM", "cpu")
 if _plat == "tpu":
     os.environ.pop("JAX_PLATFORMS", None)

@@ -88,7 +88,7 @@ def test_clean_cache_keys_on_valid_length(triples):
     noises = [t[1] for t in triples]
     enhs = [t[2] for t in triples]
     keys = [f"utt{i}" for i in range(len(triples))]
-    cache = LRUCache(max_entries=8)
+    cache = LRUCache(max_entries=64)
     score_corpus(cleans, noises, enhs, norm=False,
                  metrics=("siib", "haspi"), clean_cache=cache,
                  clean_keys=keys)
@@ -109,7 +109,7 @@ def test_clean_cache_keys_on_valid_length(triples):
         score_corpus(cleans, noises, [e[:-100 * (i + 1)] for e in enhs],
                      norm=False, metrics=("siib",), clean_cache=cache,
                      clean_keys=keys)
-    assert len(cache) <= 8
+    assert len(cache) <= 64
 
 
 def test_clean_pool_hits_reshuffled_chunks(triples):

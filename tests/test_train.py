@@ -84,6 +84,24 @@ def _mini_trainer(tmp_path, tag):
                    valid_metric_set=("estoi",))
 
 
+def test_enhance_raw_pool_warm_matches_cold(tmp_path):
+    """Warm enhancement gathers pooled raw-signal rows on device instead of
+    re-reading + re-uploading the wavs; the written files must be
+    byte-identical to the cold (read) pass."""
+    t = _mini_trainer(tmp_path, "rawpool")
+    assert t._dev_bands is not None
+    paths = t.train_index.clean_paths
+    w1 = t._write_enhanced(t.train_index, paths, str(tmp_path / "e1"), 1)
+    n_pool = len(t._dev_bands)
+    assert n_pool > 0          # raw rows were pooled (toy corpus is PCM16)
+    w2 = t._write_enhanced(t.train_index, paths, str(tmp_path / "e2"), 1)
+    assert len(t._dev_bands) == n_pool   # second pass: pure pool hits
+    assert w1 and len(w1) == len(w2)
+    for a, b in zip(w1, w2):
+        with open(a, "rb") as fa, open(b, "rb") as fb:
+            assert fa.read() == fb.read()
+
+
 def test_device_band_pool_matches_unpooled(tmp_path):
     """The device-resident band pool is a pure data-routing cache: two
     epochs with it must land on the same parameters as two epochs reading
