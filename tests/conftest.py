@@ -24,8 +24,16 @@ else:
     os.environ["JAX_PLATFORMS"] = _plat
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_collective_call_terminate_timeout_seconds" not in flags:
+    # XLA:CPU's in-process collective rendezvous hard-exits the process
+    # after 40 s if not all partitions arrived ("Expected 8 threads to
+    # join the rendezvous").  On a loaded 1-core driver host a legitimate
+    # 8-partition program can exceed that while timesharing one runtime
+    # thread — raise the F-check budget so slow is slow, not dead.
+    flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+              " --xla_cpu_collective_call_terminate_timeout_seconds=900")
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 
