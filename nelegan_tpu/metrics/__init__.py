@@ -25,10 +25,22 @@ from nelegan_tpu.metrics.haspi import (  # noqa: F401
     haspi_v1, haspi_v2, hasqi_v2,
     haspi_v1_24k, haspi_v2_24k, hasqi_v2_24k,
 )
-from nelegan_tpu.metrics.quality import (  # noqa: F401
-    pesq_proxy, visqol_proxy, pesq_proxy_16k, visqol_proxy_16k)
 from nelegan_tpu.metrics.pesq import (  # noqa: F401
     pesq_p862, pesq_p862_16k, mos_lqo_wb)
+from nelegan_tpu.metrics.visqol import (  # noqa: F401
+    visqol_speech, visqol_speech_16k)
+
+# Compat aliases: the reference scores quality with two external native
+# engines — the pypesq C extension (intel.py:9,142-160) and the ViSQOL C++
+# executable (audio_util.py:232-265).  Both are re-implemented on-device
+# (metrics/pesq.py is the complete P.862 model, metrics/visqol.py the full
+# speech-mode structure); earlier revisions exposed them as `*_proxy`, and
+# those call-site names are kept here.  `metrics.oracles` hooks up the real
+# external engines where installed, for golden capture.
+pesq_proxy = pesq_p862
+pesq_proxy_16k = pesq_p862_16k
+visqol_proxy = visqol_speech
+visqol_proxy_16k = visqol_speech_16k
 from nelegan_tpu.metrics.calibrate import (  # noqa: F401
     make_mappers, make_mappers_np, logistic)
 
