@@ -1,9 +1,11 @@
 """ERB band matmul parity vs reference compute_band_E / interp_band_gain."""
+import pytest
 import numpy as np
 
 from nelegan_tpu.dsp import band_energy, interp_band_gain
 
 
+@pytest.mark.smoke
 def test_band_energy_golden(goldens):
     g = goldens("erb")
     ours = np.asarray(band_energy(g["mag"]))

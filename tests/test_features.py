@@ -1,4 +1,5 @@
 """Featurization / resynthesis / resample / ASL parity tests."""
+import pytest
 import numpy as np
 import scipy.signal
 
@@ -6,6 +7,7 @@ from nelegan_tpu.dsp import (featurize_speech, featurize_noise, resynthesize,
                              resample_poly, asl_p56)
 
 
+@pytest.mark.smoke
 def test_featurize_speech_golden(goldens):
     g = goldens("features")
     band, mag, phase = featurize_speech(g["clean"].astype(np.float64))

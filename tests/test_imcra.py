@@ -1,4 +1,5 @@
 """IMCRA lax.scan parity vs the reference per-frame Python loop."""
+import pytest
 import numpy as np
 
 from nelegan_tpu.dsp import imcra_estimate_psd
@@ -11,6 +12,7 @@ def test_imcra_golden_f64(goldens):
     np.testing.assert_allclose(ours, g["psd"], rtol=1e-6, atol=1e-12)
 
 
+@pytest.mark.smoke
 def test_imcra_golden_f32(goldens):
     g = goldens("imcra")
     spec = (g["spec_real"] + 1j * g["spec_imag"]).astype(np.complex64)

@@ -66,6 +66,7 @@ def test_visqol_proxy_ordering(toy):
     assert self_score > 4.5
 
 
+@pytest.mark.smoke
 def test_score_pair_all_metrics(toy):
     clean, noise = toy
     scores = score_pair(clean, noise, clean, norm=True,

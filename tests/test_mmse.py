@@ -26,6 +26,7 @@ def test_expint_matches_reference(ref_ns):
     np.testing.assert_allclose(ours, ref, rtol=1e-12)
 
 
+@pytest.mark.smoke
 def test_mmse_lsa_matches_reference(ref_ns):
     rng = np.random.RandomState(0)
     mu = rng.randn(64, 10) + 1j * rng.randn(64, 10)

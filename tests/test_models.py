@@ -27,6 +27,7 @@ def ref_models():
     return ref_model
 
 
+@pytest.mark.smoke
 def test_generator_parity(ref_models):
     torch.manual_seed(0)
     g_ref = ref_models.Generator_Conv1D_cLN().eval()

@@ -25,6 +25,7 @@ def toy():
     return (c / 32768.0).astype(np.float64), (n / 32768.0).astype(np.float64)
 
 
+@pytest.mark.smoke
 def test_self_score_is_max(toy):
     clean, _ = toy
     assert abs(float(pesq_p862(clean, clean)) - 4.5) < 1e-6

@@ -50,6 +50,7 @@ def _load_toy():
     return (c.astype(np.float64) / 32768.0, n.astype(np.float64) / 32768.0)
 
 
+@pytest.mark.smoke
 def test_enhance_utterance_matches_reference(gen_params):
     g_ref, params = gen_params
     clean, noise = _load_toy()

@@ -1,4 +1,5 @@
 """STFT/iSTFT parity vs torch (librosa-semantics oracle) + round-trip."""
+import pytest
 import numpy as np
 import torch
 
@@ -41,6 +42,7 @@ def test_istft_matches_torch():
     np.testing.assert_allclose(ours, ref, rtol=1e-9, atol=1e-10)
 
 
+@pytest.mark.smoke
 def test_round_trip():
     rng = np.random.RandomState(4)
     x = rng.randn(12345).astype(np.float64) * 0.1
