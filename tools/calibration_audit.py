@@ -249,23 +249,29 @@ def visqol_drift():
         return g
 
     import functools
+
+    def _clear():
+        # the gammatone matrix is baked in at trace time in BOTH jits
+        V.visqol_nsim_16k.clear_cache()
+        V.visqol_speech_16k.clear_cache()
+
     for label, scale in (("gammatone BW +10%", 1.1),
                          ("gammatone BW -10%", 0.9)):
         V._gammatone_matrix_50hz = functools.lru_cache(None)(
             lambda s=scale: fb_scaled(s))
-        V.visqol_speech_16k.clear_cache()
+        _clear()
         s = score_all()
         out.append((label, float(np.max(np.abs(s - base)))))
     V._gammatone_matrix_50hz = base_fb
-    V.visqol_speech_16k.clear_cache()
+    _clear()
 
     # MOS-map parameter sensitivity (closed form on the base NSIM values):
-    # invert the map to NSIM, re-map with perturbed slope/centre
-    nsim = 0.643 - np.log(3.85 / np.maximum(base - 1.0, 1e-6) - 1.0) / 8.5
-    for label, k, x0 in (("MOS map slope +5%", 8.5 * 1.05, 0.643),
-                         ("MOS map centre +0.02", 8.5, 0.663)):
-        remap = np.clip(1.0 + 3.85 / (1.0 + np.exp(-k * (nsim - x0))),
-                        1.0, 4.73)
+    # invert mos = 1 + A*exp(Q*(nsim-1)) to NSIM, re-map with perturbed Q
+    A, Q = V.MOS_A, V.MOS_Q
+    nsim = 1.0 + np.log(np.maximum(base - 1.0, 1e-6) / A) / Q
+    for label, q in (("MOS map rate Q +5%", Q * 1.05),
+                     ("MOS map rate Q -5%", Q * 0.95)):
+        remap = np.clip(1.0 + A * np.exp(q * (nsim - 1.0)), 1.0, 4.73)
         out.append((label, float(np.max(np.abs(remap - base)))))
     return out, base
 
@@ -288,7 +294,11 @@ def main():
           "scorers?",
           "",
           "The (a, b) constants below are the reference's own "
-          "(intel.py:102-160, audio_util.py:259-262).  ESTOI and SIIB are "
+          "(intel.py:102-160, audio_util.py:259-262) except ViSQOL, whose "
+          "centre b is refit to the GAN-regime MOS distribution "
+          "(config.py MetricCalibration.visqol; tools/fit_visqol_map.py) "
+          "— under the reference's b=2.2 the quality discriminator's "
+          "ViSQOL targets saturate near 1.0.  ESTOI and SIIB are "
           "validated against clean-room paper oracles to <1e-8 / <1e-4 "
           "(tests/test_oracles.py), so their raw scales ARE the published "
           "scales the constants were fitted to.  The table shows where the "
@@ -302,9 +312,7 @@ def main():
           "sigmoid.  The high mapped medians come from the grid's "
           "near-clean conditions (30 dB SNR, identity pairs), which both "
           "the real engines and these scorers push to the ceiling by "
-          "design; ViSQOL's low in-band fraction (its quality grid is "
-          "mild) reflects that, not a mis-centred sigmoid — its lowest "
-          "raw scores map to ~0.45.  `cli/collect_norm.py --raw` remains "
+          "design.  `cli/collect_norm.py --raw` remains "
           "the tool to refit (a, b) on a production corpus if desired.",
           "",
           "## 2. PESQ drift quantification",
@@ -341,12 +349,15 @@ def main():
            "|---|---|"]
     md += [f"| {lbl} | {d:.3f} |" for lbl, d in vdrift]
     md += ["",
-           "ViSQOL's MOS map is a logistic FITTED to published v3 "
-           "speech-mode anchors (metrics/visqol.py:165-168); the map rows "
-           "bound the calibrated-target error from that fit.  Combined "
-           "with the quality logistic (a=-2.5, b=2.2 / a=-1.5, b=2.5), a "
-           "MOS error of dM shifts the [0,1] target by at most "
-           "0.625*dM (PESQ) / 0.55*dM (ViSQOL) near the sigmoid centre.",
+           "ViSQOL's NSIM->MOS map is mos = 1 + A*exp(Q*(nsim-1)) with the "
+           "4.73 identity ceiling pinned and Q FITTED against this "
+           "package's validated P.862 scale on noise+clip agreement "
+           "classes (tools/fit_visqol_map.py; metrics/visqol.py MOS_Q); "
+           "the map rows bound the calibrated-target error from that "
+           "fit.  Combined with the quality logistic (a=-2.5, b=3.21 / "
+           "a=-1.5, b=2.5), a MOS error of dM shifts the [0,1] target by "
+           "at most 0.625*dM (PESQ) / 0.625*dM (ViSQOL) near the sigmoid "
+           "centre.",
            ""]
     out_path = os.path.join(REPO, "CALIBRATION.md")
     with open(out_path, "w") as f:
