@@ -233,6 +233,38 @@ def measure_extras() -> dict:
     out["flops_g_step"] = fg
     out["flops_d_step"] = fd
 
+    # config 4+5 addendum: GAN step at production width (batch 64) under
+    # the bf16 mixed-precision policy (config.ModelConfig.compute_dtype).
+    # At batch 8 the step is dispatch/latency-bound and bf16 is a wash
+    # (measured 1.02x); at batch 64 activations dominate and bf16 buys
+    # 1.15x over f32's 0.216 MFU (tools/measure_bf16.py regenerates the
+    # A/B).  ~2.4e12 flops/step.
+    import dataclasses
+    b64 = 64
+    cfg16 = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, compute_dtype="bfloat16"))
+    cb = jnp.tile(feats.clean_band, (b64 // b, 1, 1))
+    nb = jnp.tile(feats.noise_band, (b64 // b, 1, 1))
+    fr = jnp.tile(feats.frames, (b64 // b,))
+    tg64 = np.full((b64, 3), 0.7, np.float32)
+    tq64 = np.full((b64, 2), 0.7, np.float32)
+    st16 = gan.init_train_state(jax.random.PRNGKey(0), cfg16)
+    img3b, img2b = gan.d_images(cb, nb, cb, fr)
+    st16, gl = gan.g_step_bands(st16, cb, nb, fr, cfg16)
+    st16, dl, ql = gan.d_step(st16, img3b, img2b, fr, tg64, tq64, cfg16)
+    float(gl)
+    t0 = time.perf_counter()
+    for _ in range(10):
+        st16, gl = gan.g_step_bands(st16, cb, nb, fr, cfg16)
+        st16, dl, ql = gan.d_step(st16, img3b, img2b, fr, tg64, tq64, cfg16)
+    _ = float(gl) + float(dl)
+    dt64 = (time.perf_counter() - t0) / 10
+    fg16 = _program_flops(gan.g_step_bands, st16, cb, nb, fr, cfg=cfg16)
+    fd16 = _program_flops(gan.d_step, st16, img3b, img2b, fr, tg64, tq64,
+                          cfg=cfg16)
+    out["gan_utts_per_sec_b64_bf16"] = round(b64 / dt64, 2)
+    out["mfu_gan_step_b64_bf16"] = _mfu(fg16 + fd16, dt64)
+
     # config 3: metric-loss forwards (HASPI v2 + ESTOI on-device)
     x24 = resample_poly(jnp.asarray(clean), 3, 2)
     y24 = resample_poly(jnp.asarray(clean + noise), 3, 2)

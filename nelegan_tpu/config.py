@@ -82,6 +82,13 @@ class ModelConfig:
     disc_kernels: Tuple[int, ...] = (1, 3, 5, 7, 9)
     n_intel_scores: int = 3           # SIIB, HASPI, ESTOI
     n_quality_scores: int = 2         # PESQ, ViSQOL
+    # Mixed-precision policy for the conv/matmul trunks ("float32" or
+    # "bfloat16").  Params, norm statistics, spectral-norm power iteration,
+    # pooling reductions, and model outputs ALWAYS stay float32; the flag
+    # only selects the dtype activations are stored in between the trunk's
+    # conv layers (MXU multiplies are bf16 either way under XLA's default
+    # matmul precision — the win is HBM bandwidth on activations).
+    compute_dtype: str = "float32"
 
 
 @dataclasses.dataclass(frozen=True)

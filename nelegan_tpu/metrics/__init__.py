@@ -259,17 +259,13 @@ def score_corpus(clean_list, noise_list, enhanced_list, fs: int = 16000,
         key_tuple = None if row_keys is None else (blen,) + tuple(row_keys)
         # a CleanSidePool caches per UTTERANCE (hits under re-shuffled chunk
         # composition); a plain mapping caches per chunk composition.  The
-        # pool's arbitrary-row gathers don't compose with mesh-sharded
-        # inputs, so sharded scoring uses the chunk-keyed form only.
-        pool = (clean_cache if hasattr(clean_cache, "ensure")
-                and mesh is None else None)
-        chunk_cache = clean_cache
-        if pool is None and hasattr(clean_cache, "ensure"):
-            # A pool under mesh sharding degrades to its internal
-            # chunk-keyed LRU (pool.chunk_cache) rather than silently
-            # disabling clean-side caching: fixed-composition chunks (the
-            # per-epoch validation corpus) still hit.
-            chunk_cache = clean_cache.chunk_cache
+        # pool composes with mesh-sharded scoring too: pool arrays are
+        # replicated, gathers emit data-sharded chunks, inserts all-gather
+        # (clean_pool._jit_gather/_jit_scatter) — warm hit-rate parity with
+        # the single-chip pool under re-shuffled chunks.
+        pool = clean_cache if hasattr(clean_cache, "ensure") else None
+        chunk_cache = (pool.chunk_cache if pool is not None
+                       else clean_cache)
         # dict-like store for small host-side per-utterance values (the
         # SIIB VAD tiling decision); the pool itself is not dict-like
         host_cache = pool.chunk_cache if pool is not None else chunk_cache
@@ -308,9 +304,9 @@ def score_corpus(clean_list, noise_list, enhanced_list, fs: int = 16000,
             # was the dominant warm score_corpus cost, 15 of 37 s at
             # 300 utterances)
             ref_j = pool.ensure(("raw-ref", blen), row_keys,
-                                lambda: _up(_pack(clean_list)))
+                                lambda: _up(_pack(clean_list)), mesh=mesh)
             noz_j = pool.ensure(("raw-noz", blen), row_keys,
-                                lambda: _up(_pack(noise_list)))
+                                lambda: _up(_pack(noise_list)), mesh=mesh)
         elif (pool_raw_signals and key_tuple is not None
               and chunk_cache is not None):
             # mesh-sharded (chunk-keyed) form of the same idea: fixed
@@ -338,7 +334,8 @@ def score_corpus(clean_list, noise_list, enhanced_list, fs: int = 16000,
             per-utterance pool (single gather per chunk) or the chunk-keyed
             mapping (mesh-sharded path)."""
             if pool is not None:
-                return pool.ensure((name,) + shape_sig, row_keys, compute)
+                return pool.ensure((name,) + shape_sig, row_keys, compute,
+                                   mesh=mesh)
             k = (name,) + key_tuple
             v = chunk_cache.get(k)
             if v is None:

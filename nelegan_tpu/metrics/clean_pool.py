@@ -31,29 +31,44 @@ from typing import Any, Callable, Hashable, List, Sequence
 
 
 @functools.lru_cache(maxsize=None)
-def _jit_gather():
+def _jit_gather(mesh=None, data_axis: str = "data"):
     """One jitted program gathering every pool leaf at once.  Op-by-op
     `leaf[idx]` costs ~3 ms of dispatch per leaf through the remote-device
     tunnel (measured: a 4-leaf hit 12.5 ms raw vs 0.66 ms as one jitted
     call); jit retraces only when the pool capacity grows (powers of two,
-    then stable)."""
+    then stable).
+
+    With a mesh, the pool arrays are REPLICATED (parameter-like layout)
+    and the gathered chunk comes out sharded over the data axis — each
+    device slices its own rows locally, zero collectives — so pool hits
+    compose with mesh-sharded (SPMD) metric programs."""
     import jax
-    return jax.jit(lambda pool, idx: jax.tree_util.tree_map(
-        lambda p: p[idx], pool))
+    fn = lambda pool, idx: jax.tree_util.tree_map(lambda p: p[idx], pool)
+    if mesh is None:
+        return jax.jit(fn)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    return jax.jit(fn, out_shardings=NamedSharding(mesh, P(data_axis)))
 
 
 @functools.lru_cache(maxsize=None)
-def _jit_scatter():
+def _jit_scatter(mesh=None):
     """Jitted row insert: one dispatch for all leaves (same rationale as
     _jit_gather).  Tried and rejected: donate_argnums=(0,) to update the
     pool in place — later reads of the donated-aliased output segfaulted
     the process on the CPU backend (heap corruption surfacing at random
     sites: clean_pool._grow_to, jax's compilation-cache writer).  The
-    copy per insert is the safe price; inserts are rare after warm-up."""
+    copy per insert is the safe price; inserts are rare after warm-up.
+
+    With a mesh, the incoming values are data-sharded and the pool is
+    replicated, so this program all-gathers the new rows (the one
+    collective on the pool path; inserts are rare after warm-up)."""
     import jax
-    return jax.jit(
-        lambda pool, vals, didx, tidx: jax.tree_util.tree_map(
-            lambda p, v: p.at[didx].set(v[tidx]), pool, vals))
+    fn = lambda pool, vals, didx, tidx: jax.tree_util.tree_map(
+        lambda p, v: p.at[didx].set(v[tidx]), pool, vals)
+    if mesh is None:
+        return jax.jit(fn)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    return jax.jit(fn, out_shardings=NamedSharding(mesh, P()))
 
 
 class CleanSidePool:
@@ -132,7 +147,11 @@ class CleanSidePool:
         self.resident_bytes += (new_cap - cap) * st["row_bytes"]
 
     def ensure(self, sig: Hashable, keys: Sequence[Hashable],
-               compute: Callable[[], Any]) -> Any:
+               compute: Callable[[], Any], mesh=None) -> Any:
+        """With `mesh`, gathered chunks come out sharded over the data
+        axis and inserts accept data-sharded values (see _jit_gather /
+        _jit_scatter) — per-utterance warm hits survive re-shuffled chunk
+        composition under mesh-sharded scoring exactly like single-chip."""
         import jax
         import jax.numpy as jnp
 
@@ -142,7 +161,7 @@ class CleanSidePool:
             for k in keys:                       # refresh LRU order
                 st["map"].move_to_end(k)
             idx = jnp.asarray(rows, jnp.int32)
-            return _jit_gather()(st["pool"], idx)
+            return _jit_gather(mesh)(st["pool"], idx)
 
         vals = compute()                         # stacked [B, ...] pytree
         if st["row_bytes"] == 0:
@@ -169,7 +188,15 @@ class CleanSidePool:
             self._grow_to(st, max(dest) + 1, vals, row_cap)
             didx = jnp.asarray(dest, jnp.int32)
             tidx = jnp.asarray([first_j[k] for k in need], jnp.int32)
-            st["pool"] = _jit_scatter()(st["pool"], vals, didx, tidx)
+            st["pool"] = _jit_scatter(mesh)(st["pool"], vals, didx, tidx)
+            if mesh is not None and jax.devices()[0].platform == "cpu":
+                # the scatter all-gathers sharded rows: a collective.
+                # XLA:CPU's in-process rendezvous F-check-aborts when two
+                # partitioned programs interleave (see score_corpus /
+                # Trainer._mesh_barrier); settle it before the caller
+                # dispatches the next partitioned program.  Real TPU
+                # meshes rendezvous on ICI — no barrier, async pipeline.
+                jax.block_until_ready(st["pool"])
         return vals
 
     def __len__(self) -> int:

@@ -29,18 +29,28 @@ class _DiscTrunk(nn.Module):
     channels: Tuple[int, ...] = (8, 16, 32, 48, 64)
     kernels: Tuple[int, ...] = (1, 3, 5, 7, 9)
     leaky_slope: float = 0.3
+    # Conv-trunk activation dtype (config.ModelConfig.compute_dtype).
+    # Params, power iterations, the global pool reduction, and the MLP
+    # head + sigmoid stay float32 regardless.
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, lengths: Optional[jnp.ndarray] = None,
                  update_sn: bool = False) -> jnp.ndarray:
+        # None = compute in the input/param dtype (preserves f64 parity
+        # runs); only an explicit reduced policy ("bfloat16") casts
+        cd = (None if self.compute_dtype == "float32"
+              else jnp.dtype(self.compute_dtype))
         lrelu = lambda v: nn.leaky_relu(v, self.leaky_slope)
         shrink = 0
         for i, (c, k) in enumerate(zip(self.channels, self.kernels)):
-            x = SNConv2D(c, k, name=f"conv{i}")(x, update_sn)
+            x = SNConv2D(c, k, dtype=cd, name=f"conv{i}")(x, update_sn)
             x = lrelu(x)
             shrink += k - 1
 
-        # global average pool over (bands, time), masking padded frames
+        # global average pool over (bands, time), masking padded frames;
+        # the reduction over ~T'*H elements accumulates in >= f32
+        x = x.astype(jnp.promote_types(x.dtype, jnp.float32))
         if lengths is None:
             pooled = jnp.mean(x, axis=(1, 2))
         else:
@@ -63,19 +73,23 @@ class IntelDiscriminator(nn.Module):
     channels: Tuple[int, ...] = (8, 16, 32, 48, 64)
     kernels: Tuple[int, ...] = (1, 3, 5, 7, 9)
     n_scores: int = 3
+    compute_dtype: str = "float32"
 
     @classmethod
     def from_config(cls, model_cfg) -> "IntelDiscriminator":
         return cls(leaky_slope=model_cfg.leaky_slope,
                    channels=model_cfg.disc_channels,
                    kernels=model_cfg.disc_kernels,
-                   n_scores=model_cfg.n_intel_scores)
+                   n_scores=model_cfg.n_intel_scores,
+                   compute_dtype=getattr(model_cfg, "compute_dtype",
+                                         "float32"))
 
     @nn.compact
     def __call__(self, x, lengths=None, update_sn: bool = False):
         return _DiscTrunk(self.n_scores, channels=self.channels,
                           kernels=self.kernels,
                           leaky_slope=self.leaky_slope,
+                          compute_dtype=self.compute_dtype,
                           name="trunk")(x, lengths, update_sn)
 
 
@@ -86,17 +100,21 @@ class QualityDiscriminator(nn.Module):
     channels: Tuple[int, ...] = (8, 16, 32, 48, 64)
     kernels: Tuple[int, ...] = (1, 3, 5, 7, 9)
     n_scores: int = 2
+    compute_dtype: str = "float32"
 
     @classmethod
     def from_config(cls, model_cfg) -> "QualityDiscriminator":
         return cls(leaky_slope=model_cfg.leaky_slope,
                    channels=model_cfg.disc_channels,
                    kernels=model_cfg.disc_kernels,
-                   n_scores=model_cfg.n_quality_scores)
+                   n_scores=model_cfg.n_quality_scores,
+                   compute_dtype=getattr(model_cfg, "compute_dtype",
+                                         "float32"))
 
     @nn.compact
     def __call__(self, x, lengths=None, update_sn: bool = False):
         return _DiscTrunk(self.n_scores, channels=self.channels,
                           kernels=self.kernels,
                           leaky_slope=self.leaky_slope,
+                          compute_dtype=self.compute_dtype,
                           name="trunk")(x, lengths, update_sn)

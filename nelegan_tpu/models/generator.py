@@ -23,26 +23,31 @@ import jax.numpy as jnp
 
 
 class CumulativeLayerNorm(nn.Module):
-    """Causal (cumulative-over-time) layer norm, reference model.py:168-205."""
+    """Causal (cumulative-over-time) layer norm, reference model.py:168-205.
+
+    Statistics are ALWAYS accumulated in float32 — cumsum over T*C bf16
+    terms loses whole frames of precision — then the normalised result is
+    returned in the input dtype (bf16 trunks stay bf16)."""
     features: int
     eps: float = 1e-8
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # [B, T, C]
-        gain = self.param("gain", nn.initializers.ones, (self.features,),
-                          x.dtype)
-        bias = self.param("bias", nn.initializers.zeros, (self.features,),
-                          x.dtype)
+        # stats dtype: at least f32 (bf16 trunks), untouched for f32/f64
+        sd = jnp.promote_types(x.dtype, jnp.float32)
+        gain = self.param("gain", nn.initializers.ones, (self.features,), sd)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), sd)
         c = x.shape[-1]
         t = x.shape[-2]
-        cum_sum = jnp.cumsum(jnp.sum(x, axis=-1), axis=-1)        # [B, T]
-        cum_pow = jnp.cumsum(jnp.sum(x * x, axis=-1), axis=-1)    # [B, T]
-        cnt = (c * jnp.arange(1, t + 1)).astype(x.dtype)
+        x32 = x.astype(sd)
+        cum_sum = jnp.cumsum(jnp.sum(x32, axis=-1), axis=-1)        # [B, T]
+        cum_pow = jnp.cumsum(jnp.sum(x32 * x32, axis=-1), axis=-1)  # [B, T]
+        cnt = (c * jnp.arange(1, t + 1)).astype(sd)
         mean = cum_sum / cnt
         var = (cum_pow - 2.0 * mean * cum_sum) / cnt + mean * mean
         inv_std = 1.0 / jnp.sqrt(var + self.eps)
-        y = (x - mean[..., None]) * inv_std[..., None]
-        return y * gain + bias
+        y = (x32 - mean[..., None]) * inv_std[..., None]
+        return (y * gain + bias).astype(x.dtype)
 
 
 class CausalConv(nn.Module):
@@ -54,6 +59,9 @@ class CausalConv(nn.Module):
     features: int
     kernel: int
     w_gain: float = 1.0  # xavier-uniform gain (reference: model.py:23-24)
+    # None = compute in the input/param dtype (flax default promotion);
+    # bf16 under the mixed-precision policy (params stay f32)
+    dtype: jnp.dtype = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # [B, T, C]
@@ -66,7 +74,8 @@ class CausalConv(nn.Module):
 
         conv = nn.Conv(self.features, (self.kernel,),
                        padding=[(self.kernel - 1, 0)],
-                       kernel_init=xavier_uniform)
+                       kernel_init=xavier_uniform,
+                       dtype=self.dtype, param_dtype=jnp.float32)
         return conv(x)
 
 
@@ -87,6 +96,10 @@ class Generator(nn.Module):
     kernel_first: int = 5
     kernel_mid: int = 7
     kernel_last: int = 5
+    # Trunk activation dtype ("float32"/"bfloat16", config.ModelConfig
+    # .compute_dtype).  Params, cLN statistics, and the output mask stay
+    # float32 regardless.
+    compute_dtype: str = "float32"
 
     @classmethod
     def from_config(cls, model_cfg) -> "Generator":
@@ -96,28 +109,38 @@ class Generator(nn.Module):
                    mask_bound=model_cfg.mask_bound,
                    kernel_first=model_cfg.gen_kernel_first,
                    kernel_mid=model_cfg.gen_kernel_mid,
-                   kernel_last=model_cfg.gen_kernel_last)
+                   kernel_last=model_cfg.gen_kernel_last,
+                   compute_dtype=getattr(model_cfg, "compute_dtype",
+                                         "float32"))
 
     @nn.compact
     def __call__(self, clean: jnp.ndarray, noise: jnp.ndarray) -> jnp.ndarray:
+        # None = flax default promotion: f32 stays f32, f64 parity runs
+        # stay f64; only an explicit reduced policy ("bfloat16") casts
+        cd = (None if self.compute_dtype == "float32"
+              else jnp.dtype(self.compute_dtype))
         lrelu = lambda v: nn.leaky_relu(v, self.leaky_slope)
         x = jnp.concatenate([clean, noise], axis=-1)  # [B, T, 128]
+        if cd is not None:
+            x = x.astype(cd)
 
         x = CausalConv(self.hidden, self.kernel_first, w_gain=5.0 / 3.0,
-                       name="block0_conv")(x)
+                       dtype=cd, name="block0_conv")(x)
         x = CumulativeLayerNorm(self.hidden, name="block0_cln")(x)
         x = lrelu(x)
         for i in range(1, self.n_blocks - 1):
             x = CausalConv(self.hidden, self.kernel_mid, w_gain=5.0 / 3.0,
-                           name=f"block{i}_conv")(x)
+                           dtype=cd, name=f"block{i}_conv")(x)
             x = CumulativeLayerNorm(self.hidden, name=f"block{i}_cln")(x)
             x = lrelu(x)
         x = CausalConv(self.n_bands, self.kernel_last, w_gain=1.0,
-                       name=f"block{self.n_blocks - 1}_conv")(x)
+                       dtype=cd, name=f"block{self.n_blocks - 1}_conv")(x)
         x = CumulativeLayerNorm(self.n_bands,
                                 name=f"block{self.n_blocks - 1}_cln")(x)
         x = lrelu(x)
 
-        x = lrelu(nn.Dense(self.n_bands, name="fc1")(x))
-        x = nn.Dense(self.n_bands, name="fc2")(x)
+        x = lrelu(nn.Dense(self.n_bands, dtype=cd, name="fc1")(x))
+        x = nn.Dense(self.n_bands, dtype=cd, name="fc2")(x)
+        # exp(bound*tanh) in >= f32: the mask feeds beta^2 energy sums
+        x = x.astype(jnp.promote_types(x.dtype, jnp.float32))
         return jnp.exp(self.mask_bound * jnp.tanh(x))

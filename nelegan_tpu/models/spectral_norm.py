@@ -55,22 +55,33 @@ def _spectral_weight(module: nn.Module, wmat: jnp.ndarray, update: bool):
 
 
 class SNConv2D(nn.Module):
-    """Conv2D (NHWC, VALID padding) with spectral-normalised weight."""
+    """Conv2D (NHWC, VALID padding) with spectral-normalised weight.
+
+    `dtype` (None = compute in the input/param dtype untouched, preserving
+    f64 parity runs) is a reduced computation dtype for the convolution
+    itself (bf16 under the mixed-precision policy); the weight, bias, and
+    the power iteration (sigma) ALWAYS stay in the param dtype — sigma
+    divides the whole kernel, so bf16 error there would scale every
+    output, and (u, v) drift compounds across steps."""
     features: int
     kernel: int
+    dtype: jnp.dtype = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, update_sn: bool = False) -> jnp.ndarray:
         k = self.kernel
         in_ch = x.shape[-1]
+        pdt = jnp.promote_types(x.dtype, jnp.float32)  # params >= f32
         w = self.param("weight_orig", nn.initializers.he_uniform(),
-                       (k, k, in_ch, self.features), x.dtype)
-        b = self.param("bias", nn.initializers.zeros, (self.features,),
-                       x.dtype)
+                       (k, k, in_ch, self.features), pdt)
+        b = self.param("bias", nn.initializers.zeros, (self.features,), pdt)
         # torch flattening order: [out, in, kh, kw] -> [out, -1]
         wmat = jnp.transpose(w, (3, 2, 0, 1)).reshape(self.features, -1)
         sigma = _spectral_weight(self, wmat, update_sn)
         w_sn = w / sigma
+        if self.dtype is not None:
+            x, w_sn, b = (x.astype(self.dtype), w_sn.astype(self.dtype),
+                          b.astype(self.dtype))
         y = jax.lax.conv_general_dilated(
             x, w_sn, window_strides=(1, 1), padding="VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
@@ -78,16 +89,21 @@ class SNConv2D(nn.Module):
 
 
 class SNDense(nn.Module):
-    """Dense layer with spectral-normalised weight."""
+    """Dense layer with spectral-normalised weight (see SNConv2D re dtype)."""
     features: int
+    dtype: jnp.dtype = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, update_sn: bool = False) -> jnp.ndarray:
         in_dim = x.shape[-1]
+        pdt = jnp.promote_types(x.dtype, jnp.float32)  # params >= f32
         w = self.param("weight_orig", nn.initializers.he_uniform(),
-                       (in_dim, self.features), x.dtype)
-        b = self.param("bias", nn.initializers.zeros, (self.features,),
-                       x.dtype)
+                       (in_dim, self.features), pdt)
+        b = self.param("bias", nn.initializers.zeros, (self.features,), pdt)
         wmat = w.T  # torch layout [out, in]
         sigma = _spectral_weight(self, wmat, update_sn)
-        return x @ (w / sigma) + b
+        w_sn = w / sigma
+        if self.dtype is not None:
+            x, w_sn, b = (x.astype(self.dtype), w_sn.astype(self.dtype),
+                          b.astype(self.dtype))
+        return x @ w_sn + b

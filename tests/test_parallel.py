@@ -143,3 +143,59 @@ def test_score_corpus_sharded_with_clean_cache():
         for k in metrics:
             assert abs(a[k] - b[k]) < 1e-6, (k, a, b)
             assert abs(a[k] - d[k]) <= 2e-3 * max(1.0, abs(d[k])), (k, a, d)
+
+
+def test_pool_mesh_hits_survive_reshuffle():
+    """The per-utterance CleanSidePool composes with mesh-sharded scoring:
+    a warm call with the SAME utterances in a DIFFERENT order (different
+    chunk row order — the per-epoch shuffled training sample) invokes ZERO
+    clean-side recomputes and reproduces the scores per utterance.  The
+    chunk-keyed fallback this replaces missed every reshuffled chunk
+    (round-2 VERDICT item 6)."""
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    import scipy.io.wavfile as wavfile
+    from nelegan_tpu.metrics import score_corpus
+    from nelegan_tpu.metrics.clean_pool import CleanSidePool
+
+    class CountingPool(CleanSidePool):
+        computes = 0
+
+        def ensure(self, sig, keys, compute, mesh=None):
+            def counting():
+                CountingPool.computes += 1
+                return compute()
+            return super().ensure(sig, keys, counting, mesh=mesh)
+
+    _, c = wavfile.read(
+        "/root/reference/toy_dataset/Train/Clean/f_hvd_100#Babble#-11.wav")
+    _, n = wavfile.read(
+        "/root/reference/toy_dataset/Train/Noise/f_hvd_100#Babble#-11.wav")
+    clean = (c / 32768.0).astype(np.float32)
+    noise = (n / 32768.0).astype(np.float32)
+    cleans = [clean[:10000] * (0.9 + 0.02 * i) for i in range(8)]
+    noises = [noise[:10000] * (0.25 + 0.02 * i) for i in range(8)]
+    enhs = [cl * (0.85 + 0.02 * i) for i, cl in enumerate(cleans)]
+    keys = [f"u{i}" for i in range(8)]
+    metrics = ("estoi", "haspi")
+    mesh = make_mesh(8, model_parallel=1)
+    pool = CountingPool()
+
+    cold = score_corpus(cleans, noises, enhs, norm=False, metrics=metrics,
+                        mesh=mesh, vmap_chunk=1, bucket_quant=4096,
+                        clean_cache=pool, clean_keys=keys)
+    n_cold = CountingPool.computes
+    assert n_cold > 0
+
+    perm = [3, 7, 0, 5, 1, 6, 2, 4]
+    warm = score_corpus([cleans[i] for i in perm],
+                        [noises[i] for i in perm],
+                        [enhs[i] for i in perm],
+                        norm=False, metrics=metrics, mesh=mesh,
+                        vmap_chunk=1, bucket_quant=4096,
+                        clean_cache=pool, clean_keys=[keys[i] for i in perm])
+    assert CountingPool.computes == n_cold  # zero clean-side recomputes
+    for j, i in enumerate(perm):
+        for k in metrics:
+            assert abs(cold[i][k] - warm[j][k]) < 1e-5, (k, i, cold[i],
+                                                         warm[j])

@@ -63,6 +63,40 @@ def main(argv=None):
     print(f"download {args.mb} MB: min={min(ts):.3f}s "
           f"-> ~{args.mb / min(ts):.1f} MB/s")
 
+    # --- upload asynchrony: does device_put return before the bytes move?
+    # If dispatch is ~ms while completion is ~100 ms, uploads already
+    # overlap compute for free (just don't block on them); if dispatch
+    # blocks for the full transfer, overlap needs a separate host thread.
+    t0 = time.perf_counter()
+    h = jax.device_put(buf)
+    t_disp = time.perf_counter() - t0
+    float(up(h))
+    t_done = time.perf_counter() - t0
+    print(f"device_put({args.mb} MB): returns after {1e3 * t_disp:.1f} ms, "
+          f"data usable after {1e3 * t_done:.1f} ms "
+          f"({'ASYNC' if t_disp < t_done / 4 else 'BLOCKING'})")
+
+    # --- concurrent-stream scaling: K threads x (mb) each vs sequential.
+    # bw*RTT here is ~750 KB (a TCP-window-sized number): if the limit is
+    # per-stream, concurrent device_puts multiply effective bandwidth.
+    from concurrent.futures import ThreadPoolExecutor
+    bufs = [np.random.randn(n).astype(np.float32) for _ in range(4)]
+    t0 = time.perf_counter()
+    hs = [jax.device_put(b) for b in bufs]
+    for h in hs:
+        float(up(h))
+    t_seq = time.perf_counter() - t0
+    with ThreadPoolExecutor(4) as ex:
+        t0 = time.perf_counter()
+        hs = list(ex.map(jax.device_put, bufs))
+        for h in hs:
+            float(up(h))
+        t_par = time.perf_counter() - t0
+    tot = 4 * args.mb
+    print(f"4x{args.mb} MB upload: sequential {t_seq:.3f}s "
+          f"({tot / t_seq:.1f} MB/s), 4 threads {t_par:.3f}s "
+          f"({tot / t_par:.1f} MB/s) -> {t_seq / t_par:.2f}x")
+
 
 if __name__ == "__main__":
     main()
