@@ -93,12 +93,18 @@ def measure_ours() -> dict:
     out = step(params, clean_p, noise_p, lengths)
     np.asarray(out)  # compile + settle (block_until_ready does not
     # synchronise through the remote-device tunnel; only a real fetch does)
-    t0 = time.perf_counter()
-    for _ in range(STEPS):
-        out = step(params, clean_p, noise_p, lengths)
-    np.asarray(out)  # device executes dispatches in order, so fetching the
-    # last output bounds all STEPS batches; one fetch amortised over STEPS
-    dt = time.perf_counter() - t0
+    # median of 3 timed reps: tunnel service load varies ~10x across
+    # rounds and first-call-after-idle spikes 10-60x (round-2 VERDICT
+    # item 2 — single-rep headline numbers were not host-robust)
+    rep_dt = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(STEPS):
+            out = step(params, clean_p, noise_p, lengths)
+        np.asarray(out)  # device executes dispatches in order, so fetching
+        # the last output bounds all STEPS batches; one fetch per rep
+        rep_dt.append(time.perf_counter() - t0)
+    dt = sorted(rep_dt)[1]
     utts_per_sec = BATCH * STEPS / dt
     flops = _program_flops(step, params, clean_p, noise_p, lengths)
     res = {"utts_per_sec": utts_per_sec,
@@ -331,7 +337,11 @@ def measure_extras() -> dict:
     # config 3 addendum (LAST: it compiles several metric programs, and
     # remote-compile latency varies ~10x with service load — if it stalls,
     # everything above is already measured): bucketed corpus scoring with
-    # the clean-side pool (training-loop path — clean references repeat)
+    # the clean-side pool (training-loop path — clean references repeat).
+    # Robust protocol (round-2 VERDICT item 2): TWO fill reps (first-call-
+    # after-idle spikes 10-60x on this tunnel), then >= 3 timed warm reps,
+    # report the MEDIAN plus spread — a single-rep number is hostage to
+    # tunnel service load that varies ~10x across rounds.
     try:
         from nelegan_tpu.metrics import score_corpus
         from nelegan_tpu.metrics.clean_pool import CleanSidePool
@@ -341,13 +351,41 @@ def measure_extras() -> dict:
         ks = [f"u{i}" for i in range(8)]
         pool = CleanSidePool()
         sm = ("siib", "haspi", "estoi")
-        score_corpus(cs, ns, es, norm=False, metrics=sm,
-                     clean_cache=pool, clean_keys=ks)  # fill + compile
-        t0 = time.perf_counter()
-        score_corpus(cs, ns, es, norm=False, metrics=sm,
-                     clean_cache=pool, clean_keys=ks)
+        for _ in range(2):  # compile + fill + settle
+            score_corpus(cs, ns, es, norm=False, metrics=sm,
+                         clean_cache=pool, clean_keys=ks)
+        reps = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            score_corpus(cs, ns, es, norm=False, metrics=sm,
+                         clean_cache=pool, clean_keys=ks)
+            reps.append(8 / (time.perf_counter() - t0))
+        reps.sort()
         out["corpus_siib_haspi_estoi_utts_per_sec_warm"] = round(
-            8 / (time.perf_counter() - t0), 2)
+            reps[len(reps) // 2], 2)
+        out["corpus_warm_utts_per_sec_min"] = round(reps[0], 2)
+        out["corpus_warm_utts_per_sec_max"] = round(reps[-1], 2)
+        # device-time-only variant: the same warm rep with per-section
+        # fetch barriers; the sum of metric sections is host-independent
+        # (bounded by device execution + one fetch each), making rounds
+        # comparable across driver hosts with different CPU/tunnel load
+        os.environ["NELE_SCORE_TIMING"] = "1"
+        try:
+            from nelegan_tpu import metrics as _m
+            score_corpus(cs, ns, es, norm=False, metrics=sm,
+                         clean_cache=pool, clean_keys=ks)
+            dev_s = sum(v for k, v in _m.LAST_TIMING.items()
+                        if k[:-2] in sm)  # metric sections only: device
+            # execution + one bounded fetch each; excludes host pack/VAD
+            # and tunnel transfer (upload_s/fetch_s), which vary with the
+            # driver box
+            if dev_s > 0:
+                out["corpus_warm_device_utts_per_sec"] = round(8 / dev_s, 2)
+            out["corpus_warm_timing"] = {
+                k: v for k, v in _m.LAST_TIMING.items()
+                if isinstance(v, float)}
+        finally:
+            del os.environ["NELE_SCORE_TIMING"]
     except Exception as e:
         out["corpus_scoring_error"] = str(e)[:120]
     return out

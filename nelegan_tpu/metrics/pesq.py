@@ -40,12 +40,15 @@ consumes calibrated scores, reference dataloader.py:75, train_nele.py:152):
     re-derived from the published formulas (Zwicker Hz->Bark map; Terhardt
     threshold curve anchored at 79.8 dB SPL == internal power 1e7) instead
     of copying the ITU tables;
-  * time alignment is reduced to an optional single global delay search
-    (`align_global`): in this framework enhanced audio is synthesized
-    frame-synchronously from the clean signal's own STFT, so the true delay
-    is exactly zero; P.862's crude/utterance/fine alignment machinery and
-    the "bad interval" re-alignment exist to handle VoIP delay jitter that
-    cannot occur here;
+  * time alignment is optional and OFF for training: in this framework
+    enhanced audio is synthesized frame-synchronously from the clean
+    signal's own STFT, so the true delay is exactly zero.  For eval-grade
+    use on external (delayed / jittery) pairs, `align_global` searches a
+    single global delay and `align_utterances` adds P.862-style utterance
+    splitting with a per-utterance delay (static MAX_UTTS slots, envelope
+    cross-correlation, one sample-gather rebuild — `_utterance_align`);
+    the "bad interval" re-alignment (ITU source dsp.c) is the remaining
+    delta, relevant only to mid-utterance delay CHANGES;
   * silence/activity decisions use the same internal-power constants as the
     ITU code (1e4 audible-power floor) but no per-utterance splitting.
 
@@ -208,10 +211,12 @@ def _smooth_gain(h: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
     return g
 
 
-@functools.partial(jax.jit, static_argnames=("align_global",))
+@functools.partial(jax.jit, static_argnames=("align_global",
+                                             "align_utterances"))
 def pesq_p862_16k(ref: jnp.ndarray, deg: jnp.ndarray,
                   n_valid: jnp.ndarray | None = None,
-                  align_global: bool = False) -> jnp.ndarray:
+                  align_global: bool = False,
+                  align_utterances: bool = False) -> jnp.ndarray:
     """Raw P.862 PESQ score (≈ [-0.5, 4.5]) for 16 kHz signals.
 
     Args:
@@ -220,6 +225,10 @@ def pesq_p862_16k(ref: jnp.ndarray, deg: jnp.ndarray,
       align_global: search a single global delay (±128 ms) by envelope
         cross-correlation before scoring.  Unnecessary (and off) for this
         framework's frame-synchronous enhancement outputs.
+      align_utterances: P.862 utterance splitting + per-utterance delay
+        (implies the global search first, as the ITU flow does).  For
+        eval-grade scoring of pairs whose delay JUMPS between utterances
+        (e.g. VoIP traces); never needed for this framework's outputs.
     """
     dt = ref.dtype
     n = ref.shape[-1]
@@ -228,8 +237,10 @@ def pesq_p862_16k(ref: jnp.ndarray, deg: jnp.ndarray,
         ref = ref * smask
         deg = deg * smask
 
-    if align_global:
+    if align_global or align_utterances:
         deg = _global_align(ref, deg)
+    if align_utterances:
+        deg = _utterance_align(ref, deg)
 
     # --- 1. level alignment -------------------------------------------------
     ref = ref * jnp.sqrt(TARGET_POWER / jnp.maximum(
@@ -330,15 +341,126 @@ def _global_align(ref: jnp.ndarray, deg: jnp.ndarray) -> jnp.ndarray:
     return jnp.roll(deg, delay_blocks * blk)
 
 
+MAX_UTTS = 8         # static utterance slots for per-utterance alignment
+UTT_GAP_MS = 200.0   # silence gap that splits utterances (P.862 pesqpar.h
+#                      joins utterances closer than ~200 ms of silence)
+
+
+def _utterance_align(ref: jnp.ndarray, deg: jnp.ndarray) -> jnp.ndarray:
+    """P.862-style utterance splitting + per-utterance delay, static shape.
+
+    The ITU flow (source pesqmain.c: utterance identification on the
+    reference's VAD, then crude+fine per-utterance alignment) re-expressed
+    for XLA: 4 ms block energies -> a 25 dB-below-peak VAD -> utterance
+    starts where activity resumes after >= UTT_GAP_MS of silence (a
+    rolling-max over the gap window, no dynamic segment lists) -> one
+    envelope cross-correlation per static utterance slot (vmapped masked
+    FFTs) -> the degraded signal rebuilt with ONE sample gather, each
+    sample shifted by its utterance's delay.  Fine fractional-sample
+    alignment and bad-interval re-alignment are not implemented (delta
+    documented in the module docstring)."""
+    dt = ref.dtype
+    blk = 64  # 4 ms at 16 kHz
+    n = ref.shape[-1] // blk * blk
+    m = n // blk
+    er = jnp.sum(ref[:n].reshape(m, blk) ** 2, axis=-1)       # [M]
+    ed = jnp.sum(deg[:n].reshape(m, blk) ** 2, axis=-1)
+    er_db = 10.0 * jnp.log10(er + _EPS)
+    active = (er_db > jnp.max(er_db) - 25.0)
+
+    # utterance starts: active block with NO activity in the previous GAP
+    # blocks.  Rolling any-of-GAP via cumsum difference (exclusive).
+    gap = int(UTT_GAP_MS * FS / 1000 / blk)
+    csum = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                            jnp.cumsum(active.astype(jnp.int32))])
+    prev_any = (csum[:-1] - csum[jnp.maximum(
+        jnp.arange(m) - gap, 0)]) > 0                         # [M]
+    starts = active & ~prev_any
+    # block -> utterance id (capped at MAX_UTTS-1).  cumsum gives the id
+    # of the most recent START; silence between utterances must instead
+    # split at the MIDPOINT of the gap (P.862's utterance windows are
+    # generous): a quiet onset just below the VAD threshold belongs to
+    # the upcoming utterance, not the previous one — otherwise those
+    # samples keep the previous delay and score as disturbance.
+    uid = jnp.clip(jnp.cumsum(starts.astype(jnp.int32)) - 1,
+                   0, MAX_UTTS - 1)                           # [M]
+    ar = jnp.arange(m)
+    prev_act = jax.lax.cummax(jnp.where(active, ar, -1))      # [M]
+    next_act = m - 1 - jax.lax.cummax(
+        jnp.where(active[::-1], ar, -1))[::-1]
+    has_next = jax.lax.cummax(
+        jnp.where(active[::-1], 1, 0))[::-1].astype(bool)
+    use_next = has_next & ((prev_act < 0)
+                           | (next_act - ar < ar - prev_act))
+    uid = jnp.where(use_next, uid[jnp.clip(next_act, 0, m - 1)], uid)
+
+    # per-slot delay: cross-correlate the slot-masked reference envelope
+    # against the full degraded envelope (log1p compression like
+    # _global_align); empty slots correlate zeros -> lag 0 via the
+    # argmax-of-all-equal tie-break is not guaranteed, so gate on slot use
+    le = jnp.log1p(er)
+    ld_ = jnp.log1p(ed)
+    ld_ = ld_ - jnp.mean(ld_)
+    max_lag = min(m - 1, (FS // blk) * 128 // 1000)           # ±128 ms
+    fd = jnp.fft.rfft(ld_, n=2 * m)
+
+    # sample-level spectra for the fine refinement (one rfft of deg,
+    # one per slot of the masked ref)
+    nfull = ref.shape[-1]
+    fd_s = jnp.fft.rfft(deg, n=2 * nfull)
+
+    def slot_delay(u):
+        msk = (uid == u) & active
+        cnt = jnp.maximum(jnp.sum(msk), 1)
+        e = jnp.where(msk, le - jnp.sum(le * msk) / cnt, 0.0)
+        xc = jnp.fft.irfft(jnp.fft.rfft(e, n=2 * m) * jnp.conj(fd),
+                           n=2 * m)
+        vals = jnp.concatenate([xc[:max_lag + 1], xc[-max_lag:]])
+        lags = jnp.concatenate([jnp.arange(max_lag + 1),
+                                jnp.arange(-max_lag, 0)])
+        coarse = lags[jnp.argmax(vals)] * blk                 # samples
+        # fine refinement (P.862's sample-resolution alignment stage):
+        # waveform cross-correlation in a ±1-block window around the
+        # coarse envelope estimate — a pure delay peaks exactly there
+        msk_s = jnp.repeat(msk, blk, total_repeat_length=n)
+        msk_s = jnp.pad(msk_s, (0, nfull - n))
+        r_m = jnp.where(msk_s, ref, 0.0)
+        xs = jnp.fft.irfft(jnp.fft.rfft(r_m, n=2 * nfull)
+                           * jnp.conj(fd_s), n=2 * nfull)
+        win = jnp.roll(xs, blk - coarse)[:2 * blk + 1]
+        d = coarse + jnp.argmax(win) - blk
+        return jnp.where(jnp.any(msk), d, 0)
+
+    delays = jax.vmap(slot_delay)(jnp.arange(MAX_UTTS))       # [U] samples
+
+    # rebuild: sample i of the aligned degraded comes from
+    # deg[i - delay(utterance(i))] (delay>0 means deg lags ref)
+    uid_s = jnp.repeat(uid, blk, total_repeat_length=n)
+    if ref.shape[-1] > n:  # ragged tail keeps the last utterance's delay
+        uid_s = jnp.concatenate(
+            [uid_s, jnp.full((ref.shape[-1] - n,), uid[-1] if m else 0,
+                             uid_s.dtype)])
+    shift = delays[uid_s]                                     # [n] samples
+    idx = jnp.clip(jnp.arange(ref.shape[-1]) - shift, 0,
+                   ref.shape[-1] - 1)
+    gathered = deg[idx]
+    # out-of-range sources are silence, not edge clamps
+    valid = ((jnp.arange(ref.shape[-1]) - shift >= 0)
+             & (jnp.arange(ref.shape[-1]) - shift < ref.shape[-1]))
+    return jnp.where(valid, gathered, jnp.zeros((), dt))
+
+
 def mos_lqo_wb(raw_pesq: jnp.ndarray) -> jnp.ndarray:
     """P.862.2 wideband raw-score -> MOS-LQO mapping."""
     return 0.999 + 4.0 / (1.0 + jnp.exp(-1.3669 * raw_pesq + 3.8224))
 
 
-def pesq_p862(ref, deg, fs: int = 16000, align_global: bool = False):
+def pesq_p862(ref, deg, fs: int = 16000, align_global: bool = False,
+              align_utterances: bool = False):
     """Host-friendly wrapper: trims to equal length, returns raw PESQ."""
     assert fs == FS, "pesq_p862 expects 16 kHz input"
     n = min(ref.shape[-1], deg.shape[-1])
     return pesq_p862_16k(jnp.asarray(ref)[..., :n],
                          jnp.asarray(deg)[..., :n],
-                         align_global=align_global)
+                         align_global=align_global,
+                         align_utterances=align_utterances)

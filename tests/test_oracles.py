@@ -128,3 +128,26 @@ def test_oracles_on_toy_dataset(cpu_f64):
     ours = float(siib(x, y, FS, use_vad_tiling=False))
     ref = siib_gauss_oracle(x, y, FS)
     assert abs(ours - ref) <= 1e-4 * max(abs(ref), 1.0), (ours, ref)
+
+
+def test_estoi_matches_pystoi_reconstruction(cpu_f64):
+    """Third anchor for ESTOI (round-2 VERDICT item 7): the JAX metric and
+    the paper-derived oracle vs a from-memory reconstruction of the pystoi
+    PACKAGE source (tools/oracles/pystoi_recon.py) — an independent channel
+    for pystoi-specific behaviors (open-Hann window, exclusive framing,
+    overlap-added silence removal, argmin band snapping) that the paper
+    does not pin down.  Not an engine-run golden (pystoi is not
+    installable here); it bounds the shared-misreading risk."""
+    import jax.numpy as jnp
+    from tools.oracles.pystoi_recon import estoi_pystoi_10k
+    from nelegan_tpu.metrics.estoi import estoi_10k
+    from nelegan_tpu.dsp.resample import resample_poly
+
+    for x, y in _pairs():
+        x10 = np.asarray(resample_poly(jnp.asarray(x), 5, 8))
+        y10 = np.asarray(resample_poly(jnp.asarray(y), 5, 8))
+        recon = estoi_pystoi_10k(x10, y10)
+        ours = float(estoi_10k(jnp.asarray(x10), jnp.asarray(y10)))
+        paper = estoi_oracle(x10, y10, 10000)
+        assert abs(ours - recon) < 1e-7, (ours, recon)
+        assert abs(paper - recon) < 1e-7, (paper, recon)

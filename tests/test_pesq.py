@@ -126,3 +126,42 @@ def test_gradient_finite_on_padded_and_identical(toy):
     assert np.all(np.isfinite(g)) and np.abs(g).max() > 0
     g_self = np.asarray(jax.grad(f)(jnp.asarray(ref)))
     assert np.all(np.isfinite(g_self))
+
+
+def test_utterance_alignment_absorbs_delay_jump(toy):
+    """Round-2 VERDICT item 8: a 50 ms delay that JUMPS mid-signal (at a
+    silent gap between utterances) must cost < 0.1 raw PESQ once
+    per-utterance alignment is on — the global search alone cannot fix a
+    delay that differs per utterance."""
+    clean, _ = toy
+    # two copies of the toy utterance separated by 400 ms of silence:
+    # two clear P.862 "utterances"
+    sil = np.zeros(6400)
+    base = np.concatenate([clean, sil, clean])
+    # delay ONLY the second utterance by 50 ms (insert zeros in the gap):
+    # utterance 1 is synchronous, utterance 2 lags 800.  Both signals get
+    # the same final length with NO content truncated — a trimmed tail
+    # would be a genuine (unrecoverable) degradation, not a delay.
+    cut = len(clean) + 3200
+    ref = np.concatenate([base, np.zeros(800)])
+    deg = np.concatenate([base[:cut], np.zeros(800), base[cut:]])
+
+    baseline = float(pesq_p862(ref, ref))
+    plain = float(pesq_p862(ref, deg))
+    glob = float(pesq_p862(ref, deg, align_global=True))
+    utt = float(pesq_p862(ref, deg, align_utterances=True))
+    # the jump hurts unaligned scoring and global alignment can't fix a
+    # per-utterance delay
+    assert plain < baseline - 0.5, (plain, baseline)
+    assert utt > glob - 1e-6
+    assert abs(utt - baseline) < 0.1, (utt, baseline, glob, plain)
+
+
+def test_utterance_alignment_noop_when_synchronous(toy):
+    """With zero true delay, the utterance aligner must not disturb the
+    score (delays estimate to ~0 and the gather is identity)."""
+    clean, noise = toy
+    deg = clean + 0.3 * noise
+    plain = float(pesq_p862(clean, deg))
+    utt = float(pesq_p862(clean, deg, align_utterances=True))
+    assert abs(plain - utt) < 0.05, (plain, utt)

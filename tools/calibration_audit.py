@@ -320,7 +320,13 @@ def main():
           "Re-derived tables vs an independent second derivation "
           "(tools/oracles/pesq_tables_np.py — bisection band edges instead "
           "of Bark-floor assignment, bisection centres instead of grid "
-          "interpolation):",
+          "interpolation).  Caveat: both derivations are by this package's "
+          "builder from the same P.862 text — the agreement bounds "
+          "derivation-method error, not a shared misreading of the spec; "
+          "no external P.862 implementation is runnable here (ESTOI has a "
+          "third, package-source-level anchor in "
+          "tools/oracles/pystoi_recon.py; PESQ's ITU source is not "
+          "redistributable, so no equivalent exists):",
           "",
           "| table | max rel diff |",
           "|---|---|"]
