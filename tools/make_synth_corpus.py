@@ -90,13 +90,13 @@ def write_wav(path: str, x: np.ndarray):
     wavfile.write(path, FS, (np.clip(x, -1, 1) * 32767).astype(np.int16))
 
 
-def main():
+def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("out")
     ap.add_argument("--n-train", type=int, default=64)
     ap.add_argument("--n-test", type=int, default=16)
     ap.add_argument("--seed", type=int, default=0)
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
     rng = np.random.default_rng(args.seed)
 
     for split, count in (("Train", args.n_train), ("Test", args.n_test)):
