@@ -33,6 +33,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lr-d", type=float, default=2.5e-4)
     p.add_argument("--weight-qua", type=float, default=0.5)
     p.add_argument("--metrics", default="siib,haspi,estoi,pesq,visqol")
+    p.add_argument("--compute-dtype", default="float32",
+                   choices=("float32", "bfloat16"),
+                   help="model trunk activation dtype (bf16 mixed "
+                        "precision; params/checkpoints stay f32)")
     p.add_argument("--data-parallel", action="store_true",
                    help="shard batches over all devices ('data' mesh axis)")
     p.add_argument("--resume", action="store_true",
@@ -58,14 +62,15 @@ def main(argv=None):
 
     from nelegan_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
-    from nelegan_tpu.config import Config, TrainConfig
+    from nelegan_tpu.config import Config, ModelConfig, TrainConfig
     from nelegan_tpu.train.loop import Trainer, TrainPaths
 
     cfg = Config(train=TrainConfig(
         gan_epochs=args.epochs, num_sampling=args.num_sampling,
         num_valid=args.num_valid, batch_size=args.batch_size,
         seed=args.seed, lr_g=args.lr_g, lr_d=args.lr_d,
-        lr_dqua=args.lr_d, weight_qua=args.weight_qua))
+        lr_dqua=args.lr_d, weight_qua=args.weight_qua),
+        model=ModelConfig(compute_dtype=args.compute_dtype))
     paths = TrainPaths(
         train_clean=args.train_clean, train_noise=args.train_noise,
         test_clean=args.test_clean, test_noise=args.test_noise,
