@@ -98,6 +98,9 @@ def main(argv=None):
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--seed", type=int, default=666)
     p.add_argument("--platform", default=None)
+    p.add_argument("--compute-dtype", default="float32",
+                   choices=("float32", "bfloat16"),
+                   help="model trunk activation dtype (bf16 policy A/B)")
     args = p.parse_args(argv)
 
     if args.platform:
@@ -109,13 +112,14 @@ def main(argv=None):
     run_dir = os.path.join(args.out, "run")
     os.makedirs(run_dir, exist_ok=True)
 
-    from nelegan_tpu.config import Config, TrainConfig
+    from nelegan_tpu.config import Config, ModelConfig, TrainConfig
     from nelegan_tpu.train.loop import Trainer, TrainPaths
 
     cfg = Config(train=TrainConfig(
         gan_epochs=args.epochs, num_sampling=args.n_train,
         num_valid=args.num_valid, batch_size=args.batch_size,
-        seed=args.seed))
+        seed=args.seed),
+        model=ModelConfig(compute_dtype=args.compute_dtype))
     paths = TrainPaths(
         train_clean=os.path.join(args.corpus, "Train", "Clean"),
         train_noise=os.path.join(args.corpus, "Train", "Noise"),
