@@ -20,6 +20,22 @@ from nelegan_tpu.train.loop import Trainer, TrainPaths
 REPO = os.path.join(os.path.dirname(__file__), "..")
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _fresh_compile_state():
+    """Drop accumulated jitted executables before this module's compiles.
+
+    The full suite segfaults INSIDE XLA:CPU's compile of the dp G-step
+    (pxla.py compile -> LLVM codegen) when ~90 prior tests' executables
+    are alive in-process; the same test passes in a fresh process, after
+    any ~60-test subset, and under ASAN on the repo's only native lib.
+    The trigger is total accumulated compiler/JIT state, not model code,
+    so free it before this module's large partitioned compile."""
+    import gc
+    jax.clear_caches()
+    gc.collect()
+    yield
+
+
 @pytest.fixture(scope="module")
 def corpus(tmp_path_factory):
     out = tmp_path_factory.mktemp("synth_corpus")
