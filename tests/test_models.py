@@ -126,3 +126,81 @@ def test_discriminator_masked_pool_matches_unpadded(ref_models):
     out_b = np.asarray(IntelDiscriminator().apply(var, b))
     np.testing.assert_allclose(out_batch[0], out_a[0], rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(out_batch[1], out_b[0], rtol=1e-4, atol=1e-6)
+
+
+def test_export_torch_roundtrip_strict(ref_models, tmp_path):
+    """JAX -> torch export: loads into the reference's own modules with
+    strict=True and reproduces their forwards exactly (the migration
+    loop — train here, deploy through the reference inference stack;
+    models/convert.py flax_*_to_torch, reference train_nele.py:272-277)."""
+    import jax
+    from nelegan_tpu.models.convert import (load_torch_checkpoint,
+                                            save_torch_checkpoint)
+    torch.manual_seed(7)
+    g_ref = ref_models.Generator_Conv1D_cLN().eval()
+    d_ref = ref_models.Discriminator().eval()
+    q_ref = ref_models.Discriminator_Quality().eval()
+    gen = torch_generator_to_flax(g_ref.state_dict())
+    intel = torch_discriminator_to_flax(d_ref.state_dict())
+    qual = torch_discriminator_to_flax(q_ref.state_dict())
+
+    out = str(tmp_path / "chkpt_GD.pt")
+    save_torch_checkpoint(out, generator=gen, intel=intel, quality=qual)
+
+    # strict load into FRESH reference modules + forward equality
+    blob = torch.load(out, map_location="cpu", weights_only=True)
+    g2 = ref_models.Generator_Conv1D_cLN()
+    g2.load_state_dict(blob["enhance-model"], strict=True)
+    d2 = ref_models.Discriminator()
+    d2.load_state_dict(blob["intel-model"], strict=True)
+    q2 = ref_models.Discriminator_Quality()
+    q2.load_state_dict(blob["quality-model"], strict=True)
+    rng = np.random.RandomState(7)
+    clean = rng.rand(1, 23, 64).astype(np.float32)
+    noise = rng.rand(1, 23, 64).astype(np.float32)
+    x3 = rng.rand(1, 3, 64, 32).astype(np.float32)
+    x2 = rng.rand(1, 2, 64, 32).astype(np.float32)
+    with torch.no_grad():
+        np.testing.assert_array_equal(
+            g2.eval()(torch.from_numpy(clean),
+                      torch.from_numpy(noise)).numpy(),
+            g_ref(torch.from_numpy(clean), torch.from_numpy(noise)).numpy())
+        np.testing.assert_array_equal(
+            d2.eval()(torch.from_numpy(x3)).numpy(),
+            d_ref(torch.from_numpy(x3)).numpy())
+        np.testing.assert_array_equal(
+            q2.eval()(torch.from_numpy(x2)).numpy(),
+            q_ref(torch.from_numpy(x2)).numpy())
+
+    # flax -> torch -> flax round trip is bit-exact
+    back = load_torch_checkpoint(out)
+    for restored, orig in (
+            (back["generator"], gen), (back["intel"], intel),
+            (back["quality"], qual)):
+        ra, oa = jax.tree.leaves(restored), jax.tree.leaves(orig)
+        assert len(ra) == len(oa)
+        for a, b in zip(ra, oa):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_export_torch_cli(ref_models, tmp_path):
+    """cli/export_torch end-to-end: our checkpoint dir -> chkpt_GD.pt."""
+    import jax
+    from nelegan_tpu.cli import export_torch
+    from nelegan_tpu.config import Config
+    from nelegan_tpu.models.convert import load_torch_checkpoint
+    from nelegan_tpu.train import gan
+    from nelegan_tpu.train.checkpoint import save_checkpoint
+
+    state = gan.init_train_state(jax.random.PRNGKey(3), Config())
+    ckdir = str(tmp_path / "chkpt")
+    save_checkpoint(ckdir, 5, state, jax.random.PRNGKey(4))
+    out = str(tmp_path / "chkpt_GD.pt")
+    export_torch.main(["--checkpoint", ckdir, "--out", out])
+
+    back = load_torch_checkpoint(out)
+    assert set(back) == {"generator", "intel", "quality"}
+    ra = jax.tree.leaves(back["generator"])
+    oa = jax.tree.leaves(jax.tree.map(np.asarray, state.gen_params))
+    for a, b in zip(ra, oa):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
