@@ -199,6 +199,68 @@ class CleanSidePool:
                 jax.block_until_ready(st["pool"])
         return vals
 
+    def ensure_rows(self, sig: Hashable, keys: Sequence[Hashable],
+                    compute: Callable[[], Any],
+                    pinned_rows: set | None = None):
+        """Resolve pool ROW INDICES for `keys` without gathering,
+        computing + inserting any missing rows first.
+
+        For callers that fuse the row gather into a larger device
+        program (the scanned D pass feeds the pool arrays plus [G, B]
+        index matrices into ONE jit instead of dispatching a gather per
+        group).  `pinned_rows` are rows already resolved for the same
+        pending program: they survive this call's evictions, and the
+        row cap is lifted to fit them (jax arrays are immutable, so
+        once the program is dispatched, later inserts cannot disturb
+        it).  Returns (pool_pytree, row_list); the returned pool
+        contains every key's row."""
+        import jax.numpy as jnp
+
+        st = self._state(sig)
+        pinned = set(pinned_rows or ())
+        rows = [st["map"].get(k) for k in keys]
+        if st["pool"] is not None and all(r is not None for r in rows):
+            for k in keys:                       # refresh LRU order
+                st["map"].move_to_end(k)
+            return st["pool"], rows
+
+        vals = compute()                         # stacked [B, ...] pytree
+        if st["row_bytes"] == 0:
+            import jax
+            st["row_bytes"] = sum(
+                v.nbytes // max(v.shape[0], 1)
+                for v in jax.tree_util.tree_leaves(vals))
+        first_j: dict = {}
+        for j, k in enumerate(keys):
+            first_j.setdefault(k, j)
+        need = [k for k in first_j if k not in st["map"]]
+        # the cap must fit every externally pinned row PLUS this call's
+        # keys (slight over-count when they overlap — only lifts the
+        # bound, never starves the alloc)
+        row_cap = self._row_cap(st, len(set(keys)) + len(pinned))
+        pinned |= {r for r in rows if r is not None}
+        dest: List[int] = []
+        for k in need:
+            r = self._alloc_row(st, pinned, row_cap)
+            st["map"][k] = r
+            pinned.add(r)
+            dest.append(r)
+        for k in keys:
+            st["map"].move_to_end(k)
+        if dest:
+            self._grow_to(st, max(dest) + 1, vals, row_cap)
+            didx = jnp.asarray(dest, jnp.int32)
+            tidx = jnp.asarray([first_j[k] for k in need], jnp.int32)
+            st["pool"] = _jit_scatter(None)(st["pool"], vals, didx, tidx)
+        return st["pool"], [st["map"][k] for k in keys]
+
+    def gather_rows(self, sig: Hashable, rows: Sequence[int]):
+        """Stacked pytree for rows resolved by ensure_rows — one device
+        dispatch regardless of row count (single-device layout)."""
+        import jax.numpy as jnp
+        st = self._state(sig)
+        return _jit_gather(None)(st["pool"], jnp.asarray(rows, jnp.int32))
+
     def __len__(self) -> int:
         return sum(len(st["map"]) for st in self._shapes.values())
 

@@ -279,6 +279,61 @@ def d_step_bands(state: TrainState, eband, noise_band, clean_band, frames,
 @functools.partial(jax.jit, static_argnames=("cfg", "update_intel",
                                              "update_quality", "intel_cols",
                                              "quality_cols"))
+def d_steps_scan(state: TrainState, eband, clean_band, noise_band, frames,
+                 targets, targets_q, row_valid, group_valid,
+                 cfg: Config = Config(), update_intel: bool = True,
+                 update_quality: bool = True, intel_cols: tuple = None,
+                 quality_cols: tuple = None):
+    """lax.scan of sequential D updates over G same-bucket groups in ONE
+    compiled program.
+
+    The per-step path (d_step_bands) costs ~3 device dispatches per
+    group through the remote-device tunnel (two pool gathers + the
+    step) — ~700 dispatches per epoch at the reference's 300-utterance
+    scale.  The scanned pass batch-gathers each chunk's pool rows
+    outside (one gather per pool) and replaces G step dispatches with
+    one; the updates stay strictly sequential (the optimizer state
+    threads through the scan carry), so the math is the per-step
+    path's exactly.  Band inputs arrive flat ([G*B, ...], straight
+    from the chunk gather) and are reshaped here so the program's
+    shapes depend only on (bucket_len, G, B) — never on the pool
+    capacity, which grows geometrically and would recompile this
+    program at every step of that growth (remote compiles cost
+    30-240 s each under service load).
+
+    targets [G, B, 3]; targets_q [G, B, 2]; row_valid [G, B];
+    group_valid [G] bool — False groups are pure shape padding:
+    lax.cond skips their compute and leaves state (step_d included)
+    untouched.  Returns (state, losses [G, 2] f32)."""
+    g, b = targets.shape[:2]
+
+    def chunked(a):
+        return a.reshape((g, b) + a.shape[1:])
+
+    xs = (chunked(eband), chunked(clean_band), chunked(noise_band),
+          chunked(frames), targets, targets_q, row_valid, group_valid)
+
+    def body(st, inp):
+        eb, cb, nb, fr, tg, tq, rv, gv = inp
+
+        def do(st):
+            st2, ld, lq = d_step_bands(
+                st, eb, nb, cb, fr, tg, tq, cfg, update_intel,
+                update_quality, intel_cols, quality_cols, rv)
+            return st2, jnp.stack([ld.astype(jnp.float32),
+                                   lq.astype(jnp.float32)])
+
+        def skip(st):
+            return st, jnp.zeros((2,), jnp.float32)
+
+        return jax.lax.cond(gv, do, skip, st)
+
+    return jax.lax.scan(body, state, xs)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "update_intel",
+                                             "update_quality", "intel_cols",
+                                             "quality_cols"))
 def d_step(state: TrainState, img3, img2, frames, targets, targets_q,
            cfg: Config = Config(), update_intel: bool = True,
            update_quality: bool = True, intel_cols: tuple = None,

@@ -115,6 +115,9 @@ class Trainer:
         enable_compilation_cache()
         from nelegan_tpu.utils.profiling import StepTimer
         self.timer = StepTimer()
+        # NELE_D_TIMING=1 accumulates D-pass section times here (see
+        # train_discriminator_pass); {} otherwise
+        self.last_d_timing: Dict[str, float] = {}
         # band features are deterministic per (utterance, bucket length);
         # cache them across epochs (the reference re-featurized in every
         # DataLoader __getitem__, dataloader.py:30-42, IMCRA included).
@@ -485,12 +488,9 @@ class Trainer:
         lengths = np.asarray([self._pair_len[p] for p in padded], np.int32)
         return clean_i16, noise_i16, lengths
 
-    def _pooled_cn_bands(self, group_paths: Sequence[str]):
-        """(clean_band, noise_band, frames) for a same-bucket path group,
-        padded to the fixed batch size, gathered from the device pool.
-        Misses load + featurize the group once (via the host band cache)
-        and scatter the rows in; full hits touch neither the filesystem
-        nor the host->device path."""
+    def _cn_keys_compute(self, group_paths: Sequence[str]):
+        """(sig, keys, compute) for a same-bucket clean/noise band group,
+        padded to the fixed batch size."""
         import jax.numpy as jnp
         from nelegan_tpu.data.pipeline import _bucket_len
         bs = self.cfg.train.batch_size
@@ -506,13 +506,10 @@ class Trainer:
             cb, nb, fr = self._pad_batch_rows((cb, nb, fr), bs)
             return (jnp.asarray(cb), jnp.asarray(nb), jnp.asarray(fr))
 
-        return self._dev_bands.ensure(("cn", blen), keys, compute)
+        return ("cn", blen), keys, compute
 
-    def _pooled_ebands(self, group: Sequence[ReplayEntry], blen: int):
-        """Enhanced-wav band rows for one D group, from the device pool.
-        An enhanced file is immutable once written, so its bands are
-        cached for the epoch's remaining passes and for replay in later
-        epochs."""
+    def _eb_keys_compute(self, group: Sequence[ReplayEntry], blen: int):
+        """(sig, keys, compute) for one D group's enhanced-band rows."""
         bs = self.cfg.train.batch_size
         padded = list(group) + [group[-1]] * (bs - len(group))
         keys = [(e.enhanced_path, blen) for e in padded]
@@ -527,7 +524,24 @@ class Trainer:
             ep = self._pad_batch_rows((ep,), bs)[0]
             return gan.speech_band(ep, self.cfg)
 
-        return self._dev_bands.ensure(("eb", blen), keys, compute)
+        return ("eb", blen), keys, compute
+
+    def _pooled_cn_bands(self, group_paths: Sequence[str]):
+        """(clean_band, noise_band, frames) for a same-bucket path group,
+        padded to the fixed batch size, gathered from the device pool.
+        Misses load + featurize the group once (via the host band cache)
+        and scatter the rows in; full hits touch neither the filesystem
+        nor the host->device path."""
+        sig, keys, compute = self._cn_keys_compute(group_paths)
+        return self._dev_bands.ensure(sig, keys, compute)
+
+    def _pooled_ebands(self, group: Sequence[ReplayEntry], blen: int):
+        """Enhanced-wav band rows for one D group, from the device pool.
+        An enhanced file is immutable once written, so its bands are
+        cached for the epoch's remaining passes and for replay in later
+        epochs."""
+        sig, keys, compute = self._eb_keys_compute(group, blen)
+        return self._dev_bands.ensure(sig, keys, compute)
 
     def train_generator_epoch(self, sampled: Sequence[str]) -> float:
         losses = []  # device scalars; fetched once (remote sync is ~32 ms)
@@ -603,6 +617,115 @@ class Trainer:
         except Exception:
             pass
 
+    # number of same-bucket groups fused into one scanned D program:
+    # fixed, so each bucket length compiles the scan exactly once
+    _D_SCAN_GROUPS = 8
+
+    def _d_pass_scan(self, entries, blen, bs, timing, _bar):
+        """Scan-fused D pass: chunks of _D_SCAN_GROUPS same-bucket groups
+        run as ONE device program (gan.d_steps_scan), with each chunk's
+        band rows batch-gathered from the device pools in one dispatch
+        per pool (clean_pool.ensure_rows resolves indices without
+        gathering; rows pinned until the chunk dispatches).  Replaces
+        ~3 device dispatches per group with ~3 per chunk — the per-step
+        path measured dispatch-bound through the remote tunnel
+        (NELE_D_TIMING at 300-utterance scale: ~700 dispatches/epoch).
+        Updates stay strictly sequential in entry order; identical math
+        to the per-step loop (tests/test_train.py scan-parity test).
+        Single-device band-pool path; meshes keep the per-step loop
+        (their pool gathers shard over the data axis).  NELE_D_SCAN=0
+        falls back to the per-step loop."""
+        GC = self._D_SCAN_GROUPS
+        # same-bucket groups of <= bs entries, in processing order
+        groups = []
+        i = 0
+        while i < len(entries):
+            group = [entries[i]]
+            b = blen(entries[i])
+            i += 1
+            while (i < len(entries) and len(group) < bs
+                   and blen(entries[i]) == b):
+                group.append(entries[i])
+                i += 1
+            groups.append((b, group))
+
+        losses_dev = []
+        valid_counts = []
+        gi = 0
+        while gi < len(groups):
+            _t0 = time.perf_counter() if timing is not None else 0.0
+            b = groups[gi][0]
+            chunk = []
+            while (gi < len(groups) and groups[gi][0] == b
+                   and len(chunk) < GC):
+                chunk.append(groups[gi][1])
+                gi += 1
+            pinned_cn: set = set()
+            pinned_eb: set = set()
+            sig_cn = sig_eb = None
+            cn_rows, eb_rows, tgs, tqs, rvs = [], [], [], [], []
+            for group in chunk:
+                cpaths = [self.train_index.clean_path_for(e.name)
+                          for e in group]
+                sig_cn, keys, compute = self._cn_keys_compute(cpaths)
+                _, rows = self._dev_bands.ensure_rows(
+                    sig_cn, keys, compute, pinned_cn)
+                pinned_cn |= set(rows)
+                cn_rows.append(rows)
+                sig_eb, keys, compute = self._eb_keys_compute(group, b)
+                _, rows = self._dev_bands.ensure_rows(
+                    sig_eb, keys, compute, pinned_eb)
+                pinned_eb |= set(rows)
+                eb_rows.append(rows)
+                tg = np.array([e.scores[:3] for e in group], np.float32)
+                tq = np.array([e.scores[3:5] for e in group], np.float32)
+                n_real = len(group)
+                tg, tq = self._pad_batch_rows((tg, tq), bs)
+                tgs.append(tg)
+                tqs.append(tq)
+                rvs.append((np.arange(bs) < n_real).astype(np.float32))
+            n_valid = len(chunk)
+            for _ in range(GC - n_valid):     # shape-padding groups
+                cn_rows.append([0] * bs)
+                eb_rows.append([0] * bs)
+                tgs.append(np.zeros((bs, 3), np.float32))
+                tqs.append(np.zeros((bs, 2), np.float32))
+                rvs.append(np.zeros(bs, np.float32))
+            # one batched gather per pool for the whole chunk
+            cb, nb, fr = self._dev_bands.gather_rows(
+                sig_cn, [r for rows in cn_rows for r in rows])
+            eb = self._dev_bands.gather_rows(
+                sig_eb, [r for rows in eb_rows for r in rows])
+            if timing is not None:
+                timing["steps"] += n_valid
+                _bar(eb)
+                timing["bands_s"] += time.perf_counter() - _t0
+                _t0 = time.perf_counter()
+            self.state, lvals = gan.d_steps_scan(
+                self.state, eb, cb, nb, fr, np.stack(tgs), np.stack(tqs),
+                np.stack(rvs), np.arange(GC) < n_valid, self.cfg,
+                update_intel=self.intel_active,
+                update_quality=self.qua_active,
+                intel_cols=self._intel_cols,
+                quality_cols=self._qua_cols)
+            if timing is not None:
+                _bar(lvals)
+                timing["step_s"] += time.perf_counter() - _t0
+            losses_dev.append(lvals)
+            valid_counts.append(n_valid)
+        if not losses_dev:
+            return []
+        _t0 = time.perf_counter() if timing is not None else 0.0
+        import jax.numpy as jnp
+        flat = np.asarray(jnp.stack(losses_dev))       # one fetch
+        if timing is not None:
+            timing["loss_fetch_s"] += time.perf_counter() - _t0
+            for k, v in timing.items():
+                self.last_d_timing[k] = round(
+                    self.last_d_timing.get(k, 0) + v, 3)
+        return [(float(flat[c, g, 0]), float(flat[c, g, 1]))
+                for c, nv in enumerate(valid_counts) for g in range(nv)]
+
     def train_discriminator_pass(self, entries: Sequence[ReplayEntry]):
         """One pass over a list of scored enhanced utterances.
 
@@ -614,15 +737,32 @@ class Trainer:
         entries = list(entries)
         self.rng.shuffle(entries)
         bs = self.cfg.train.batch_size
+        # NELE_D_TIMING=1: per-section wall clock with real scalar-fetch
+        # barriers (block_until_ready does not synchronise through the
+        # device tunnel).  The barriers SERIALISE dispatch, so the sum
+        # over-reports an unbarriered pass — attribution only, off by
+        # default.  Results accumulate in self.last_d_timing.
+        timing = ({"steps": 0, "host_s": 0.0, "bands_s": 0.0,
+                   "step_s": 0.0, "loss_fetch_s": 0.0}
+                  if os.environ.get("NELE_D_TIMING") else None)
+
+        def _bar(x):
+            if timing is not None:
+                np.asarray(x.ravel()[0] if hasattr(x, "ravel") else x)
 
         def blen(e):
             return _bucket_len(self.train_index.length(
                 self.train_index.clean_path_for(e.name)))
         entries.sort(key=blen)
 
+        if (self._dev_bands is not None and self.mesh is None
+                and os.environ.get("NELE_D_SCAN", "1") != "0"):
+            return self._d_pass_scan(entries, blen, bs, timing, _bar)
+
         losses = []
         i = 0
         while i < len(entries):
+            _t0 = time.perf_counter() if timing is not None else 0.0
             # group entries sharing one bucket length
             group = [entries[i]]
             b = blen(entries[i])
@@ -642,9 +782,17 @@ class Trainer:
             targets, targets_q = self._pad_batch_rows(
                 (targets, targets_q), bs)
             mask = (np.arange(bs) < n_real).astype(np.float32)
+            if timing is not None:
+                timing["steps"] += 1
+                timing["host_s"] += time.perf_counter() - _t0
+                _t0 = time.perf_counter()
             if self._dev_bands is not None:
                 cb, nb, frames = self._pooled_cn_bands(cpaths)
                 eband = self._pooled_ebands(group, b)
+                if timing is not None:
+                    _bar(eband)
+                    timing["bands_s"] += time.perf_counter() - _t0
+                    _t0 = time.perf_counter()
                 self.state, ld, lq = gan.d_step_bands(
                     self.state, eband, nb, cb, frames, targets, targets_q,
                     self.cfg, update_intel=self.intel_active,
@@ -673,13 +821,22 @@ class Trainer:
                     quality_cols=self._qua_cols,
                     row_valid=args[-1])
             self._mesh_barrier(ld)
+            if timing is not None:
+                _bar(ld)
+                timing["step_s"] += time.perf_counter() - _t0
             losses.append((ld, lq))
         if not losses:
             return []
         # one device->host transfer for all step losses (a per-scalar
         # np.asarray costs a full tunnel round trip each)
+        _t0 = time.perf_counter() if timing is not None else 0.0
         import jax.numpy as jnp
         flat = np.asarray(jnp.stack([jnp.stack(p) for p in losses]))
+        if timing is not None:
+            timing["loss_fetch_s"] += time.perf_counter() - _t0
+            for k, v in timing.items():
+                self.last_d_timing[k] = round(
+                    self.last_d_timing.get(k, 0) + v, 3)
         return [(float(flat[i, 0]), float(flat[i, 1]))
                 for i in range(len(losses))]
 

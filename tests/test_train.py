@@ -117,8 +117,34 @@ def test_device_band_pool_matches_unpooled(tmp_path):
     tu.run_epoch(2)
 
     jax = pytest.importorskip("jax")
+    # atol 2e-6: the pooled path runs the scan-fused D pass, whose XLA
+    # fusion order differs from the per-step program by ~1e-7/step in f32
     for a, b in zip(jax.tree_util.tree_leaves(tp.state),
                     jax.tree_util.tree_leaves(tu.state)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=2e-5, atol=1e-7)
+                                   rtol=2e-5, atol=2e-6)
     assert len(tp._dev_bands) > 0     # the pool actually saw traffic
+
+
+def test_d_scan_matches_per_step(tmp_path, monkeypatch):
+    """The scan-fused D pass (gan.d_steps_scan, default on single-device)
+    threads the optimizer state through a lax.scan instead of one jit
+    dispatch per group — identical sequential math, so two epochs must
+    land on the same parameters as the per-step loop (NELE_D_SCAN=0)."""
+    ts = _mini_trainer(tmp_path, "dscan")
+    assert ts._dev_bands is not None and ts.mesh is None
+    ts.run_epoch(1)
+    ts.run_epoch(2)
+
+    monkeypatch.setenv("NELE_D_SCAN", "0")
+    tl = _mini_trainer(tmp_path, "dstep")
+    tl.run_epoch(1)
+    tl.run_epoch(2)
+
+    jax = pytest.importorskip("jax")
+    # atol 2e-6: same math, different XLA fusion order (~1e-7/step f32
+    # drift, compounded over two epochs)
+    for a, b in zip(jax.tree_util.tree_leaves(ts.state),
+                    jax.tree_util.tree_leaves(tl.state)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
