@@ -22,7 +22,32 @@ serialising executables or its compile service becomes concurrent.
 """
 from __future__ import annotations
 
+import hashlib
 import os
+import platform
+
+
+def _host_fingerprint() -> str:
+    """Stable per-host tag for the cache directory.  XLA:CPU serialises
+    AOT executables specialised to the *compiling* machine's CPU
+    features; loading them on a host with different features fails per
+    entry with a cpu_aot_loader error ("Machine type used for XLA:CPU
+    compilation doesn't match...") — measured here when round 2's
+    many-core AVX512-everything box filled the cache and round 3's box
+    (fewer features) then paid a rejected load + warning spew for every
+    entry.  Driver hosts change across rounds, so entries must not be
+    shared between hosts: key a subdirectory by machine + CPU flags."""
+    bits = [platform.machine()]
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    bits.append(" ".join(sorted(line.split(":", 1)[1]
+                                                .split())))
+                    break
+    except OSError:
+        bits.append(platform.processor())
+    return hashlib.sha256("|".join(bits).encode()).hexdigest()[:12]
 
 
 def enable_compilation_cache(directory: str | None = None) -> str | None:
@@ -36,6 +61,7 @@ def enable_compilation_cache(directory: str | None = None) -> str | None:
         os.path.expanduser("~/.cache/nelegan_tpu_xla"))
     if str(directory).lower() in ("off", "0", "none", "disabled"):
         return None
+    directory = os.path.join(directory, f"host-{_host_fingerprint()}")
     try:
         import jax
         os.makedirs(directory, exist_ok=True)

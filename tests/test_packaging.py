@@ -45,3 +45,29 @@ def test_console_scripts_accept_argv_and_print_help(capsys):
             getattr(mod, func_name)(["--help"])
         assert e.value.code == 0, name
         assert capsys.readouterr().out.strip(), name
+
+
+def test_compilation_cache_dir_is_host_keyed(tmp_path, monkeypatch):
+    """XLA:CPU AOT entries are specialised to the compiling machine's CPU
+    features; a host with different features rejects every entry on load
+    (cpu_aot_loader "machine type doesn't match", measured when round 2's
+    box filled the cache and round 3's box paid a warning-spew rejection
+    per entry).  Driver hosts change between rounds, so the cache
+    directory must be keyed per host."""
+    from nelegan_tpu.utils.cache import (_host_fingerprint,
+                                         enable_compilation_cache)
+    import jax
+    monkeypatch.setenv("NELE_COMPILE_CACHE", str(tmp_path / "c"))
+    try:
+        d = enable_compilation_cache()
+        assert d is not None and os.path.isdir(d)
+        fp = _host_fingerprint()
+        assert os.path.basename(d) == f"host-{fp}"
+        assert len(fp) == 12
+        assert _host_fingerprint() == fp       # stable within a host
+        monkeypatch.setenv("NELE_COMPILE_CACHE", "off")
+        assert enable_compilation_cache() is None
+    finally:
+        # tmp_path is deleted after the test — don't leave the process
+        # pointed at it (conftest runs the suite with the cache off)
+        jax.config.update("jax_compilation_cache_dir", None)
