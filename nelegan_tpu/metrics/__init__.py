@@ -195,8 +195,14 @@ def score_corpus(clean_list, noise_list, enhanced_list, fs: int = 16000,
         if barrier is not None:
             # fetch ONE element: device dispatches execute in order, so a
             # scalar fetch bounds everything queued before it without
-            # transferring the buffer itself
-            np.asarray(barrier.ravel()[0])
+            # transferring the buffer itself.  MUST be a shared jitted
+            # probe: a raw `barrier.ravel()[0]` dispatches an op-by-op
+            # slice program whose remote compile lands in whichever
+            # section fetches that shape first — BENCH_r03's
+            # estoi_s=0.852 was exactly this artifact (ESTOI is the first
+            # metric barrier; its real device time is ~ms, see
+            # tools/prof_estoi.py)
+            np.asarray(_scalar_probe()(barrier))
         _timing[key] = _timing.get(key, 0.0) + (_time.perf_counter() - t0)
 
     dp = int(mesh.shape["data"]) if mesh is not None else 1
@@ -451,10 +457,13 @@ def score_corpus(clean_list, noise_list, enhanced_list, fs: int = 16000,
         if _timing is not None:
             # barrier per metric IN DISPATCH ORDER: each delta attributes
             # that metric's device time (cache-miss clean-side computes
-            # dispatched inside a metric's block are charged to it)
+            # dispatched inside a metric's block are charged to it).
+            # Shared jitted probe — see _tock; the first timing rep of a
+            # process still pays one probe compile per distinct shape, so
+            # callers comparing sections should time a SECOND rep.
             for m_name, val in out.items():
                 _t0 = _time.perf_counter()
-                np.asarray(val.ravel()[0])
+                np.asarray(_scalar_probe()(val))
                 _timing[m_name + "_s"] = (_timing.get(m_name + "_s", 0.0)
                                           + _time.perf_counter() - _t0)
 
@@ -517,6 +526,16 @@ def _pcm16_exact(x) -> bool:
 
 
 import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _scalar_probe():
+    """One jitted first-element probe shared by every timing barrier (jit
+    caches per input shape, so repeat barriers on a shape are compile-free
+    — an inline `.ravel()[0]` would rebuild an op-by-op program whose
+    remote compile pollutes whichever timing section runs it first)."""
+    import jax
+    return jax.jit(lambda a: a.ravel()[0])
 
 
 @functools.lru_cache(maxsize=None)
