@@ -50,10 +50,11 @@ def main(argv=None):
                                         clip_overflow)
     from nelegan_tpu.metrics import score_batch
     from nelegan_tpu.train import gan
-    from nelegan_tpu.train.checkpoint import (load_checkpoint,
+    from nelegan_tpu.train.checkpoint import (config_for_checkpoint,
+                                              load_checkpoint,
                                               load_reference_checkpoint)
 
-    cfg = Config()
+    cfg = config_for_checkpoint(args.checkpoint)
     state = gan.init_train_state(jax.random.PRNGKey(0), cfg)
     if args.torch_checkpoint:
         state = load_reference_checkpoint(args.torch_checkpoint, state)
@@ -82,7 +83,7 @@ def main(argv=None):
                                              cfg.train.p_power)
             wavs, _, out_lens = pipeline.enhance_batch(
                 state.gen_params, feats, cfg.train.p_power,
-                cfg.train.target_rms)
+                cfg.train.target_rms, model_cfg=cfg.model)
             wavs = np.asarray(wavs)
             # one fetch for the batch's lengths (int(out_lens[i]) would
             # cost a tunnel round trip per utterance)

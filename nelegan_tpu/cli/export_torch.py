@@ -29,12 +29,20 @@ def main(argv=None):
     import jax
     jax.config.update("jax_platforms", "cpu")
 
-    from nelegan_tpu.config import Config
+    from nelegan_tpu.config import Config, config_from_dict
     from nelegan_tpu.models.convert import save_torch_checkpoint
     from nelegan_tpu.train import gan
-    from nelegan_tpu.train.checkpoint import load_checkpoint
+    from nelegan_tpu.train.checkpoint import load_checkpoint, peek_meta
 
-    cfg = Config()
+    # build the template state from the config the checkpoint was trained
+    # with (sidecar extra['config']) — a non-default model shape
+    # (gen_blocks, disc channels) would otherwise fail to restore or
+    # export the wrong n_blocks; Config() is only the pre-config-sidecar
+    # fallback
+    try:
+        cfg = config_from_dict(peek_meta(args.checkpoint)["extra"]["config"])
+    except (KeyError, FileNotFoundError):
+        cfg = Config()
     state = gan.init_train_state(jax.random.PRNGKey(0), cfg)
     state, _, epoch, _ = load_checkpoint(args.checkpoint, state)
     kw = {}

@@ -53,10 +53,11 @@ def main(argv=None):
     from nelegan_tpu.data.wavio import read_wav, write_wav_pcm16
     from nelegan_tpu.metrics import score_batch
     from nelegan_tpu.train import gan
-    from nelegan_tpu.train.checkpoint import (load_checkpoint,
+    from nelegan_tpu.train.checkpoint import (config_for_checkpoint,
+                                              load_checkpoint,
                                               load_reference_checkpoint)
 
-    cfg = Config()
+    cfg = config_for_checkpoint(args.checkpoint)
     state = gan.init_train_state(jax.random.PRNGKey(0), cfg)
     if args.torch_checkpoint:
         state = load_reference_checkpoint(args.torch_checkpoint, state)
@@ -79,7 +80,8 @@ def main(argv=None):
         feats = pipeline.featurize_batch(batch.clean, batch.noise,
                                          batch.lengths, cfg.train.p_power)
         wavs, _, out_lens = pipeline.enhance_batch(
-            state.gen_params, feats, cfg.train.p_power, cfg.train.target_rms)
+            state.gen_params, feats, cfg.train.p_power, cfg.train.target_rms,
+            model_cfg=cfg.model)
         # int16: half the device->host bytes, byte-identical files
         batches.append((batch.names, pipeline.pcm16_quantize_i16(wavs),
                         out_lens))
@@ -105,7 +107,8 @@ def main(argv=None):
     print(f"enhanced {len(written)} utterances -> {args.output}")
 
     metrics = tuple(m.strip() for m in args.metrics.split(",") if m.strip())
-    for subset in [s for s in args.subsets.split(",") if s]:
+    for subset in ([] if not metrics  # --metrics "" = write wavs only
+                   else [s for s in args.subsets.split(",") if s]):
         paths = [p for p in written if subset in p]
         if not paths:
             continue

@@ -109,9 +109,13 @@ class EnhanceServer:
     """Dynamic-batching enhancement service around one generator."""
 
     def __init__(self, gen_params, batch_size: int = 8,
-                 max_wait_ms: float = 15.0, bucket_quant: int = 4096):
+                 max_wait_ms: float = 15.0, bucket_quant: int = 4096,
+                 cfg=None):
         from nelegan_tpu.config import Config
-        self.cfg = Config()
+        # cfg should be the checkpoint's own config
+        # (checkpoint.config_for_checkpoint) so a non-default model shape
+        # builds the matching Generator; Config() is the fallback
+        self.cfg = Config() if cfg is None else cfg
         self.params = gen_params
         self.batch_size = batch_size
         self.max_wait = max_wait_ms / 1000.0
@@ -134,7 +138,8 @@ class EnhanceServer:
             feats = pipeline.featurize_batch(clean_p, noise_p, lengths,
                                              cfg.train.p_power)
             wav, _, out_len = pipeline.enhance_batch(
-                params, feats, cfg.train.p_power, cfg.train.target_rms)
+                params, feats, cfg.train.p_power, cfg.train.target_rms,
+                model_cfg=cfg.model)
             return wav, out_len
         return step
 
@@ -321,9 +326,11 @@ def load_params(checkpoint: Optional[str], torch_checkpoint: Optional[str]):
     import jax
     from nelegan_tpu.config import Config
     from nelegan_tpu.train import gan
-    from nelegan_tpu.train.checkpoint import (load_checkpoint,
+    from nelegan_tpu.train.checkpoint import (config_for_checkpoint,
+                                              load_checkpoint,
                                               load_reference_checkpoint)
-    state = gan.init_train_state(jax.random.PRNGKey(0), Config())
+    state = gan.init_train_state(jax.random.PRNGKey(0),
+                                 config_for_checkpoint(checkpoint))
     if torch_checkpoint:
         state = load_reference_checkpoint(torch_checkpoint, state)
     elif checkpoint:
@@ -343,8 +350,10 @@ def main(argv=None):
     enable_compilation_cache()
 
     params = load_params(args.checkpoint, args.torch_checkpoint)
+    from nelegan_tpu.train.checkpoint import config_for_checkpoint
     server = EnhanceServer(params, batch_size=args.batch_size,
-                           max_wait_ms=args.max_wait_ms)
+                           max_wait_ms=args.max_wait_ms,
+                           cfg=config_for_checkpoint(args.checkpoint))
     warm = [int(x) for x in args.warmup_lengths.split(",") if x.strip()]
     if warm:
         t0 = time.perf_counter()

@@ -44,10 +44,11 @@ def main(argv=None):
     from nelegan_tpu.models.generator import Generator
     from nelegan_tpu.streaming import StreamingEnhancer
     from nelegan_tpu.train import gan
-    from nelegan_tpu.train.checkpoint import (load_checkpoint,
+    from nelegan_tpu.train.checkpoint import (config_for_checkpoint,
+                                              load_checkpoint,
                                               load_reference_checkpoint)
 
-    cfg = Config()
+    cfg = config_for_checkpoint(args.checkpoint)
     state = gan.init_train_state(jax.random.PRNGKey(0), cfg)
     if args.torch_checkpoint:
         state = load_reference_checkpoint(args.torch_checkpoint, state)

@@ -150,3 +150,34 @@ class Config:
 
 def default_config() -> Config:
     return Config()
+
+
+def config_to_dict(cfg: Config) -> dict:
+    """JSON-serialisable dict of the full config tree (tuples -> lists),
+    for persisting alongside checkpoints so restore/export rebuilds the
+    exact model shape instead of assuming defaults."""
+    return dataclasses.asdict(cfg)
+
+
+def config_from_dict(d: dict) -> Config:
+    """Inverse of config_to_dict.  Unknown keys (from a newer writer) are
+    ignored; missing keys keep their defaults, so old checkpoints load
+    under new code."""
+    def build(cls, sub: dict):
+        kw = {}
+        for f in dataclasses.fields(cls):
+            if sub is None or f.name not in sub:
+                continue
+            v = sub[f.name]
+            kw[f.name] = tuple(v) if isinstance(v, list) else v
+        return cls(**kw)
+
+    return Config(
+        stft=build(StftConfig, d.get("stft")),
+        band=build(BandConfig, d.get("band")),
+        imcra=build(ImcraConfig, d.get("imcra")),
+        model=build(ModelConfig, d.get("model")),
+        train=build(TrainConfig, d.get("train")),
+        calib=build(MetricCalibration, d.get("calib")),
+        parallel=build(ParallelConfig, d.get("parallel")),
+    )

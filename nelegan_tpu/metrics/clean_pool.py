@@ -105,11 +105,15 @@ class CleanSidePool:
         """Rows this shape may occupy: per-shape cap, shrunk when the
         global byte budget is exhausted — but never below what's already
         allocated or below one full chunk (the pool must be able to pin a
-        whole chunk at once)."""
+        whole chunk at once, including rows pinned by a pending fused
+        program: ensure_rows counts those in chunk_rows, so max_rows is
+        LIFTED when one chunk's pins exceed it rather than raising
+        mid-epoch)."""
         rb = max(st["row_bytes"], 1)
         spare = max(self.max_bytes - self.resident_bytes, 0)
         budget_rows = st["cap"] + spare // rb
-        return min(self.max_rows, max(budget_rows, st["cap"], chunk_rows))
+        return max(chunk_rows, st["cap"],
+                   min(self.max_rows, budget_rows))
 
     def _alloc_row(self, st: dict, pinned: set, row_cap: int) -> int:
         if st["next"] < row_cap:

@@ -363,6 +363,8 @@ def _utterance_align(ref: jnp.ndarray, deg: jnp.ndarray) -> jnp.ndarray:
     blk = 64  # 4 ms at 16 kHz
     n = ref.shape[-1] // blk * blk
     m = n // blk
+    if m == 0:  # shorter than one 4 ms block: nothing to align (static
+        return deg  # shape, so a host-level early return is trace-safe)
     er = jnp.sum(ref[:n].reshape(m, blk) ** 2, axis=-1)       # [M]
     ed = jnp.sum(deg[:n].reshape(m, blk) ** 2, axis=-1)
     er_db = 10.0 * jnp.log10(er + _EPS)

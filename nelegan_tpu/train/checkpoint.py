@@ -83,6 +83,33 @@ def load_checkpoint_full(path: str, template_state: TrainState):
             meta.get("extra") or {})
 
 
+def peek_meta(path: str) -> Dict[str, Any]:
+    """Sidecar metadata (epoch/replay/extra) WITHOUT restoring arrays —
+    lets callers rebuild the Config (extra['config']) before allocating a
+    template state of the right shape."""
+    if os.path.isdir(path):
+        path = os.path.join(path, "latest")
+    path = os.path.realpath(path)
+    with open(path + ".json") as f:
+        return json.load(f)
+
+
+def config_for_checkpoint(path: Optional[str]):
+    """The Config a checkpoint was trained with (sidecar
+    extra['config']), falling back to defaults for reference-format /
+    pre-sidecar checkpoints or when no checkpoint is given.  Every CLI
+    that builds a template TrainState for load_checkpoint should size it
+    with this, not Config() (a non-default gen_blocks/disc_channels run
+    would otherwise fail to restore)."""
+    from nelegan_tpu.config import Config, config_from_dict
+    if path:
+        try:
+            return config_from_dict(peek_meta(path)["extra"]["config"])
+        except (KeyError, FileNotFoundError, json.JSONDecodeError):
+            pass
+    return Config()
+
+
 def load_reference_checkpoint(path: str, state: TrainState) -> TrainState:
     """Load a reference torch chkpt_*.pt into the matching slots."""
     from nelegan_tpu.models.convert import load_torch_checkpoint

@@ -35,7 +35,7 @@ from typing import Dict, List, Optional, Sequence
 import jax
 import numpy as np
 
-from nelegan_tpu.config import Config
+from nelegan_tpu.config import Config, config_to_dict
 from nelegan_tpu import pipeline
 from nelegan_tpu.data.pipeline import (BucketedLoader, CorpusIndex,
                                        get_filepaths)
@@ -660,10 +660,30 @@ class Trainer:
                    and len(chunk) < GC):
                 chunk.append(groups[gi][1])
                 gi += 1
+            n_valid = len(chunk)
+            # host bookkeeping first (target packing, validity rows) so
+            # NELE_D_TIMING attributes it to host_s like the per-step
+            # path does, not to the band section
+            tgs, tqs, rvs = [], [], []
+            for group in chunk:
+                tg = np.array([e.scores[:3] for e in group], np.float32)
+                tq = np.array([e.scores[3:5] for e in group], np.float32)
+                n_real = len(group)
+                tg, tq = self._pad_batch_rows((tg, tq), bs)
+                tgs.append(tg)
+                tqs.append(tq)
+                rvs.append((np.arange(bs) < n_real).astype(np.float32))
+            for _ in range(GC - n_valid):     # shape-padding groups
+                tgs.append(np.zeros((bs, 3), np.float32))
+                tqs.append(np.zeros((bs, 2), np.float32))
+                rvs.append(np.zeros(bs, np.float32))
+            if timing is not None:
+                timing["host_s"] += time.perf_counter() - _t0
+                _t0 = time.perf_counter()
             pinned_cn: set = set()
             pinned_eb: set = set()
             sig_cn = sig_eb = None
-            cn_rows, eb_rows, tgs, tqs, rvs = [], [], [], [], []
+            cn_rows, eb_rows = [], []
             for group in chunk:
                 cpaths = [self.train_index.clean_path_for(e.name)
                           for e in group]
@@ -677,20 +697,9 @@ class Trainer:
                     sig_eb, keys, compute, pinned_eb)
                 pinned_eb |= set(rows)
                 eb_rows.append(rows)
-                tg = np.array([e.scores[:3] for e in group], np.float32)
-                tq = np.array([e.scores[3:5] for e in group], np.float32)
-                n_real = len(group)
-                tg, tq = self._pad_batch_rows((tg, tq), bs)
-                tgs.append(tg)
-                tqs.append(tq)
-                rvs.append((np.arange(bs) < n_real).astype(np.float32))
-            n_valid = len(chunk)
             for _ in range(GC - n_valid):     # shape-padding groups
                 cn_rows.append([0] * bs)
                 eb_rows.append([0] * bs)
-                tgs.append(np.zeros((bs, 3), np.float32))
-                tqs.append(np.zeros((bs, 2), np.float32))
-                rvs.append(np.zeros(bs, np.float32))
             # one batched gather per pool for the whole chunk
             cb, nb, fr = self._dev_bands.gather_rows(
                 sig_cn, [r for rows in cn_rows for r in rows])
@@ -748,7 +757,14 @@ class Trainer:
 
         def _bar(x):
             if timing is not None:
-                np.asarray(x.ravel()[0] if hasattr(x, "ravel") else x)
+                if hasattr(x, "ravel"):
+                    # shared jitted probe (metrics._scalar_probe): a raw
+                    # .ravel()[0] compiles an op-by-op slice program whose
+                    # remote compile would pollute the first section
+                    from nelegan_tpu.metrics import _scalar_probe
+                    np.asarray(_scalar_probe()(x))
+                else:
+                    np.asarray(x)
 
         def blen(e):
             return _bucket_len(self.train_index.length(
@@ -914,7 +930,10 @@ class Trainer:
                 extra={"rng_state": list(self.rng.getstate()),
                        "replay_rng": list(self.replay.rng.getstate()),
                        "loader_rng": list(self.loader.rng.getstate()),
-                       "history": self.history})
+                       "history": self.history,
+                       # model/train shape travels with the weights so
+                       # restore/export never assumes Config() defaults
+                       "config": config_to_dict(self.cfg)})
 
         tmp = os.path.join(self.paths.output, "temp")
         if os.path.isdir(tmp):

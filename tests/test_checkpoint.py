@@ -52,3 +52,61 @@ def test_load_reference_torch_checkpoint(tmp_path):
     with torch.no_grad():
         ref = g(torch.from_numpy(clean), torch.from_numpy(noise)).numpy()
     np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_config_travels_with_checkpoint(tmp_path):
+    """The sidecar persists the training config; config_for_checkpoint
+    rebuilds it (incl. non-default model shape) so export/restore never
+    assumes Config() defaults (ADVICE r3)."""
+    import dataclasses
+    from nelegan_tpu.config import config_to_dict, config_from_dict
+    from nelegan_tpu.train.checkpoint import config_for_checkpoint
+
+    cfg = Config()
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, gen_blocks=4,
+                                       gen_hidden=128),
+        train=dataclasses.replace(cfg.train, batch_size=4))
+    # dict round trip is exact (tuples come back as tuples)
+    assert config_from_dict(config_to_dict(cfg)) == cfg
+
+    state = gan.init_train_state(jax.random.PRNGKey(1), cfg)
+    save_checkpoint(str(tmp_path), 3, state, jax.random.PRNGKey(0),
+                    extra={"config": config_to_dict(cfg)})
+    got = config_for_checkpoint(str(tmp_path))
+    assert got == cfg
+    # template built from the sidecar config restores the non-default
+    # shapes (Config() default would mismatch and fail)
+    template = gan.init_train_state(jax.random.PRNGKey(2), got)
+    state2, _, _, _ = load_checkpoint(str(tmp_path), template)
+    for x, y in zip(jax.tree.leaves(state.gen_params),
+                    jax.tree.leaves(state2.gen_params)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    # pre-sidecar / missing checkpoints fall back to defaults
+    assert config_for_checkpoint(None) == Config()
+
+
+def test_export_torch_uses_checkpoint_config(tmp_path):
+    """cli/export_torch exports a non-default-shape checkpoint with the
+    right n_blocks instead of rebuilding from Config() (ADVICE r3)."""
+    import dataclasses
+    from nelegan_tpu.cli import export_torch
+    from nelegan_tpu.config import config_to_dict
+
+    cfg = Config()
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, gen_blocks=4,
+                                       gen_hidden=64))
+    state = gan.init_train_state(jax.random.PRNGKey(1), cfg)
+    save_checkpoint(str(tmp_path), 2, state, jax.random.PRNGKey(0),
+                    extra={"config": config_to_dict(cfg)})
+    out = str(tmp_path / "export.pt")
+    export_torch.main(["--checkpoint", str(tmp_path), "--out", out,
+                       "--generator-only"])
+    sd = torch.load(out, map_location="cpu",
+                    weights_only=False)["enhance-model"]
+    n_blocks = len({k.split(".")[1] for k in sd
+                    if k.startswith("convolutions.")})
+    assert n_blocks == 4, sorted(sd)
+    got_hidden = sd["convolutions.0.0.conv.weight"].shape[0]
+    assert got_hidden == 64, got_hidden

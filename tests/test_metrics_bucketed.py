@@ -255,3 +255,37 @@ def test_chunk_keyed_raw_signal_cache_matches(triples):
     warm2 = score_corpus(cleans, noises, enhs2, norm=False, metrics=metrics,
                          clean_cache=cache, clean_keys=keys)
     assert any(w2[m] != w[m] for w2, w in zip(warm2, warm) for m in metrics)
+
+
+def test_pool_row_cap_lifts_for_pinned_chunks():
+    """A fused scan chunk may pin more rows than max_rows_per_shape; the
+    cap lifts to fit one full chunk instead of raising mid-epoch
+    (clean_pool._row_cap; ADVICE r3)."""
+    import jax.numpy as jnp
+    from nelegan_tpu.metrics.clean_pool import CleanSidePool
+
+    pool = CleanSidePool(max_rows_per_shape=4)
+    keys = [f"u{i}" for i in range(10)]  # one chunk pins 10 > 4 rows
+
+    def compute():
+        return jnp.arange(10, dtype=jnp.float32)[:, None] * jnp.ones((10, 3))
+
+    pl, rows = pool.ensure_rows("sig", keys, compute)
+    assert len(set(rows)) == 10  # all distinct, no forced eviction
+    got = np.asarray(pool.gather_rows("sig", rows))
+    np.testing.assert_array_equal(got[:, 0], np.arange(10, dtype=np.float32))
+
+    # a second chunk with NEW keys while the first chunk's rows stay
+    # pinned (a still-pending fused program) must not evict or fail
+    keys2 = [f"v{i}" for i in range(3)]
+
+    def compute2():
+        return 100.0 + jnp.arange(3, dtype=jnp.float32)[:, None] \
+            * jnp.ones((3, 3))
+
+    _, rows2 = pool.ensure_rows("sig", keys2, compute2,
+                                pinned_rows=set(rows))
+    assert not set(rows2) & set(rows)
+    got1 = np.asarray(pool.gather_rows("sig", rows))
+    np.testing.assert_array_equal(got1[:, 0],
+                                  np.arange(10, dtype=np.float32))
