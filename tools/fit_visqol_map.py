@@ -145,10 +145,28 @@ def fit(rows, a_fixed: float = 3.73):
 
 
 def main():
+    import argparse
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--dump", default=None, metavar="PATH",
+                    help="also write the (condition, nsim, pesq_mos) fit "
+                         "grid as JSON (committed as tests/goldens/"
+                         "visqol_fit_grid.json — the regression anchor "
+                         "that pins MOS_Q and the calibration centre, "
+                         "tests/test_visqol.py)")
+    args = ap.parse_args()
     print("building degradation grid ...")
     pairs = build_grid()
     print(f"{len(pairs)} pairs; scoring ...")
     rows = collect(pairs)
+    if args.dump:
+        import json
+        with open(args.dump, "w") as fjson:
+            json.dump({"rows": [{"cond": c, "nsim": n, "pesq_mos": m}
+                                for c, n, m in rows],
+                       "fit_classes": "noisy+clip, drc excluded",
+                       "map": "mos = 1 + MOS_A*exp(MOS_Q*(nsim-1))"},
+                      fjson, indent=1)
+        print(f"grid dumped to {args.dump}")
     q, f, rmse = fit(rows)
     print(f"\nfit (lp rows excluded): MOS_A=3.73  MOS_Q={q:.3f}  "
           f"rmse={rmse:.3f}")
