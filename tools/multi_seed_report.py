@@ -179,8 +179,12 @@ def main(argv=None):
                 print(f"[skip] {variant} seed {seed} (already recorded)",
                       flush=True)
                 continue
-            run_dir = os.path.join("/tmp/nele_ms_runs",
-                                   f"{variant}_s{seed}")
+            # key the run dir by the campaign scale too: a same-variant
+            # run at another (epochs, n_train) must NOT resume this one's
+            # checkpoints (Trainer auto-resumes from paths.checkpoints)
+            run_dir = os.path.join(
+                "/tmp/nele_ms_runs",
+                f"{variant}_s{seed}_{args.epochs}ep_{args.n_train}n")
             print(f"[run] {variant} seed {seed} ...", flush=True)
             r = run_one(args.corpus, run_dir, seed, args.epochs,
                         args.n_train, args.n_valid, b, dt, lrm)
