@@ -1,6 +1,10 @@
 """Bucketed (padded + n_valid) scoring agrees with exact-length scoring."""
 import numpy as np
 import pytest
+
+# compiles every metric at several (bucket, exact) shape pairs in f64 —
+# many-core suite material, not for 1-core driver hosts
+pytestmark = pytest.mark.heavy
 import scipy.io.wavfile as wavfile
 
 from nelegan_tpu.metrics import score_pair, score_corpus

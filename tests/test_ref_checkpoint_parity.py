@@ -17,8 +17,11 @@ import pytest
 TOY = "/root/reference/toy_dataset"
 TOOLS = os.path.join(os.path.dirname(__file__), "..", "tools")
 
-pytestmark = pytest.mark.skipif(not os.path.isdir(TOY),
-                                reason="reference mount unavailable")
+# trains the reference's torch modules for real optimiser steps — the
+# slowest single module on a 1-core host
+pytestmark = [pytest.mark.heavy,
+              pytest.mark.skipif(not os.path.isdir(TOY),
+                                 reason="reference mount unavailable")]
 
 
 @pytest.fixture(scope="module")

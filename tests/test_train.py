@@ -6,6 +6,11 @@ import os
 import numpy as np
 import pytest
 
+# multi-epoch Trainer runs (scan-parity A/B compiles the fused D-scan
+# program twice) — many-core suite material; the single-step training
+# smoke lives in test_smoke_train.py
+pytestmark = pytest.mark.heavy
+
 from nelegan_tpu.config import Config, TrainConfig
 from nelegan_tpu.train.loop import Trainer, TrainPaths
 
