@@ -14,7 +14,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from nelegan_tpu.config import Config
+from nelegan_tpu.config import Config, ModelConfig
 from nelegan_tpu.models.generator import Generator
 from nelegan_tpu.models.discriminator import IntelDiscriminator
 from nelegan_tpu.train import gan
@@ -84,16 +84,30 @@ def test_discriminator_bf16_runs_f32_head(cfgs, bands):
 
 
 @pytest.mark.smoke
-def test_bf16_gan_step_trains(cfgs, bands):
+def test_bf16_gan_step_trains():
     """One G step + one D step under the bf16 policy: finite losses,
-    finite f32 param updates, spectral (u, v) advance in f32."""
-    _, c16 = cfgs
-    cb, nb, frames = bands
+    finite f32 param updates, spectral (u, v) advance in f32.
+
+    Policy invariants (dtype placement, f32 param tree) are independent
+    of model size, so the smoke tier runs them on the small config from
+    test_smoke_train — compiling the full production model here cost the
+    tier ~45 s of its 1-core compile budget; the full-size bf16-vs-f32
+    parity checks above stay in the default tier."""
+    c16 = Config(model=ModelConfig(
+        gen_hidden=32, gen_blocks=2, disc_channels=(4, 8),
+        disc_kernels=(1, 3), compute_dtype="bfloat16"))
+    rng = np.random.default_rng(0)
+    b, t = 2, 40
+    cb = jnp.asarray(np.abs(rng.standard_normal((b, t, 64))) * 0.1,
+                     jnp.float32)
+    nb = jnp.asarray(np.abs(rng.standard_normal((b, t, 64))) * 0.05,
+                     jnp.float32)
+    frames = jnp.full((b,), t, jnp.int32)
     state = gan.init_train_state(jax.random.PRNGKey(0), c16)
     state1, gl = gan.g_step_bands(state, cb, nb, frames, c16)
     img3, img2 = gan.d_images(cb, nb, cb, frames)
-    tg = jnp.full((4, 3), 0.7, jnp.float32)
-    tq = jnp.full((4, 2), 0.7, jnp.float32)
+    tg = jnp.full((b, 3), 0.7, jnp.float32)
+    tq = jnp.full((b, 2), 0.7, jnp.float32)
     state2, dl, ql = gan.d_step(state1, img3, img2, frames, tg, tq, c16)
     for val in (gl, dl, ql):
         assert np.isfinite(float(val))

@@ -21,8 +21,8 @@ from nelegan_tpu.train import gan
 def test_one_g_and_d_step():
     # Production-shaped but small: same programs, fast 1-core compiles.
     cfg = Config(model=ModelConfig(gen_hidden=32, gen_blocks=2,
-                                   disc_channels=(4, 8, 12),
-                                   disc_kernels=(1, 3, 5)))
+                                   disc_channels=(4, 8),
+                                   disc_kernels=(1, 3)))
     state = gan.init_train_state(jax.random.PRNGKey(0), cfg)
     rng = np.random.RandomState(1)
     b, t, nb = 2, 40, cfg.model.n_bands
