@@ -97,7 +97,13 @@ class TrainConfig:
     gan_epochs: int = 500
     num_sampling: int = 300           # utterances sampled per epoch
     num_valid: int = 480
-    batch_size: int = 8               # reference uses 1; we bucket+pad+batch
+    # reference uses 1; we bucket+pad+batch.  8 is the measured quality
+    # optimum AND wall-clock-equal to 64 at reference scale (3-seed
+    # campaign, artifacts/train_report/MULTISEED.md: batch 64 loses ~3 pts
+    # best-epoch SIIB beyond seed spread, and epochs are scoring-bound so
+    # the higher step MFU buys no end-to-end time) — raise it only for
+    # G-step-dominated workloads (train/direct.py, larger models).
+    batch_size: int = 8
     p_power: float = 1.0 / 6.0        # power-law compression exponent
     inv_p: float = 6.0
     weight_qua: float = 0.5           # quality-loss weight (Eq.7 in the paper)
