@@ -86,6 +86,13 @@ class CleanSidePool:
         self.max_rows = max_rows_per_shape
         self.max_bytes = max_bytes
         self.resident_bytes = 0
+        # chunk-level hit accounting: `hits` chunks served entirely from
+        # the pool (one device gather, zero host reads/uploads), `misses`
+        # chunks that ran compute().  Warm-epoch parity between the dp and
+        # single-chip Trainer paths is asserted on these counters
+        # (tests/test_parallel_epoch.py)
+        self.hits = 0
+        self.misses = 0
         # mesh-sharded score_corpus can't use arbitrary-row gathers; it
         # degrades to this chunk-keyed LRU instead of dropping caching
         from nelegan_tpu.utils.lru import LRUCache
@@ -164,9 +171,11 @@ class CleanSidePool:
         if st["pool"] is not None and all(r is not None for r in rows):
             for k in keys:                       # refresh LRU order
                 st["map"].move_to_end(k)
+            self.hits += 1
             idx = jnp.asarray(rows, jnp.int32)
             return _jit_gather(mesh)(st["pool"], idx)
 
+        self.misses += 1
         vals = compute()                         # stacked [B, ...] pytree
         if st["row_bytes"] == 0:
             st["row_bytes"] = sum(
@@ -226,8 +235,10 @@ class CleanSidePool:
         if st["pool"] is not None and all(r is not None for r in rows):
             for k in keys:                       # refresh LRU order
                 st["map"].move_to_end(k)
+            self.hits += 1
             return st["pool"], rows
 
+        self.misses += 1
         vals = compute()                         # stacked [B, ...] pytree
         if st["row_bytes"] == 0:
             import jax
