@@ -412,24 +412,31 @@ def measure_extras() -> dict:
         os.environ["NELE_SCORE_TIMING"] = "1"
         try:
             from nelegan_tpu import metrics as _m
-            # TWO timing reps, keep the second: the first pays one probe
-            # compile per distinct barrier shape (metrics._scalar_probe),
-            # which previously inflated whichever section fetched that
-            # shape first (BENCH_r03 estoi_s)
+            # one probe-warming rep (the first pays one probe compile per
+            # distinct barrier shape — BENCH_r03's estoi_s=0.852 artifact),
+            # then THREE timing reps keeping per-section MINIMA: each
+            # section is device execution + one bounded fetch, so its min
+            # over reps filters tunnel service-load spikes (measured 10x;
+            # BENCH_r04's first cut recorded estoi_s=0.232 from one spiked
+            # rep where tools/prof_estoi.py shows the whole warm ESTOI
+            # chain is RTT-bound at ~27 ms)
             score_corpus(cs, ns, es, norm=False, metrics=sm,
                          clean_cache=pool, clean_keys=ks)
-            score_corpus(cs, ns, es, norm=False, metrics=sm,
-                         clean_cache=pool, clean_keys=ks)
-            dev_s = sum(v for k, v in _m.LAST_TIMING.items()
+            timing_min: dict = {}
+            for _ in range(3):
+                score_corpus(cs, ns, es, norm=False, metrics=sm,
+                             clean_cache=pool, clean_keys=ks)
+                for k, v in _m.LAST_TIMING.items():
+                    if isinstance(v, float):
+                        timing_min[k] = min(v, timing_min.get(k, v))
+            dev_s = sum(v for k, v in timing_min.items()
                         if k[:-2] in sm)  # metric sections only: device
             # execution + one bounded fetch each; excludes host pack/VAD
             # and tunnel transfer (upload_s/fetch_s), which vary with the
             # driver box
             if dev_s > 0:
                 out["corpus_warm_device_utts_per_sec"] = round(8 / dev_s, 2)
-            out["corpus_warm_timing"] = {
-                k: v for k, v in _m.LAST_TIMING.items()
-                if isinstance(v, float)}
+            out["corpus_warm_timing"] = timing_min
         finally:
             del os.environ["NELE_SCORE_TIMING"]
     except Exception as e:
