@@ -44,11 +44,16 @@ consumes calibrated scores, reference dataloader.py:75, train_nele.py:152):
     enhanced audio is synthesized frame-synchronously from the clean
     signal's own STFT, so the true delay is exactly zero.  For eval-grade
     use on external (delayed / jittery) pairs, `align_global` searches a
-    single global delay and `align_utterances` adds P.862-style utterance
+    single global delay, `align_utterances` adds P.862-style utterance
     splitting with a per-utterance delay (static MAX_UTTS slots, envelope
-    cross-correlation, one sample-gather rebuild — `_utterance_align`);
-    the "bad interval" re-alignment (ITU source dsp.c) is the remaining
-    delta, relevant only to mid-utterance delay CHANGES;
+    cross-correlation, one sample-gather rebuild — `_utterance_align`),
+    and `align_bad_intervals` adds the P.862 "bad interval" re-alignment
+    (ITU source dsp.c, re-derived): frames whose pooled disturbance
+    exceeds 30 are grouped into runs of >= 5, each run gets a fresh
+    waveform cross-correlation delay search, its frames' disturbances are
+    recomputed at the new delay (reusing the stored gain compensation, as
+    the ITU code does), and the smaller value wins per frame — this is
+    what absorbs delay CHANGES inside one utterance;
   * silence/activity decisions use the same internal-power constants as the
     ITU code (1e4 audible-power floor) but no per-utterance splitting.
 
@@ -212,11 +217,13 @@ def _smooth_gain(h: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=("align_global",
-                                             "align_utterances"))
+                                             "align_utterances",
+                                             "align_bad_intervals"))
 def pesq_p862_16k(ref: jnp.ndarray, deg: jnp.ndarray,
                   n_valid: jnp.ndarray | None = None,
                   align_global: bool = False,
-                  align_utterances: bool = False) -> jnp.ndarray:
+                  align_utterances: bool = False,
+                  align_bad_intervals: bool = False) -> jnp.ndarray:
     """Raw P.862 PESQ score (≈ [-0.5, 4.5]) for 16 kHz signals.
 
     Args:
@@ -229,6 +236,12 @@ def pesq_p862_16k(ref: jnp.ndarray, deg: jnp.ndarray,
         (implies the global search first, as the ITU flow does).  For
         eval-grade scoring of pairs whose delay JUMPS between utterances
         (e.g. VoIP traces); never needed for this framework's outputs.
+      align_bad_intervals: P.862 bad-interval re-alignment (implies both
+        stages above, matching the ITU flow): after the perceptual model
+        runs, high-disturbance frame runs get a fresh per-interval delay
+        search and their disturbances are recomputed at the better delay.
+        Absorbs delay changes INSIDE an utterance, which the stages above
+        cannot fix.  Eval-grade only.
     """
     dt = ref.dtype
     n = ref.shape[-1]
@@ -237,9 +250,9 @@ def pesq_p862_16k(ref: jnp.ndarray, deg: jnp.ndarray,
         ref = ref * smask
         deg = deg * smask
 
-    if align_global or align_utterances:
+    if align_global or align_utterances or align_bad_intervals:
         deg = _global_align(ref, deg)
-    if align_utterances:
+    if align_utterances or align_bad_intervals:
         deg = _utterance_align(ref, deg)
 
     # --- 1. level alignment -------------------------------------------------
@@ -297,22 +310,33 @@ def pesq_p862_16k(ref: jnp.ndarray, deg: jnp.ndarray,
         return SL_16K * jnp.maximum(s, 0.0)
 
     lr = loudness(ppr)
-    ld = loudness(ppd)
-
-    # --- 8. disturbance + asymmetry ------------------------------------------
-    d = ld - lr
-    dead = 0.25 * jnp.minimum(lr, ld)
-    d_sym = jnp.sign(d) * jnp.maximum(jnp.abs(d) - dead, 0.0)
-    asym = ((ppd + 50.0) / (ppr + 50.0)) ** 1.2
-    asym = jnp.where(asym < 3.0, 0.0, jnp.minimum(asym, 12.0))
-    d_asym = d_sym * asym
-
-    # --- 9. frame pooling -----------------------------------------------------
-    frame_sym = _pseudo_lp(d_sym, widths, 2.0)                # [T]
-    frame_asym = _pseudo_lp(d_asym, widths, 1.0)
     fw = ((aud_ref + 1e5) / 1e7) ** 0.04
-    frame_sym = jnp.minimum(frame_sym / fw, 45.0) * fmask
-    frame_asym = jnp.minimum(frame_asym / fw, 45.0) * fmask
+
+    def frames_disturbance(ppd_g):
+        """Stages 8-9 (disturbance, asymmetry, frame pooling) from a
+        gain-compensated degraded pitch-power density [T, 49].  Closure so
+        the bad-interval re-alignment can recompute shifted frames against
+        the SAME compensated reference loudness / frame weights."""
+        ld = loudness(ppd_g)
+        d = ld - lr
+        dead = 0.25 * jnp.minimum(lr, ld)
+        d_sym = jnp.sign(d) * jnp.maximum(jnp.abs(d) - dead, 0.0)
+        asym = ((ppd_g + 50.0) / (ppr + 50.0)) ** 1.2
+        asym = jnp.where(asym < 3.0, 0.0, jnp.minimum(asym, 12.0))
+        d_asym = d_sym * asym
+        f_sym = jnp.minimum(_pseudo_lp(d_sym, widths, 2.0) / fw,
+                            45.0) * fmask
+        f_asym = jnp.minimum(_pseudo_lp(d_asym, widths, 1.0) / fw,
+                             45.0) * fmask
+        return f_sym, f_asym
+
+    # --- 8./9. disturbance + asymmetry + frame pooling -----------------------
+    frame_sym, frame_asym = frames_disturbance(ppd)
+
+    if align_bad_intervals:
+        frame_sym, frame_asym = _bad_interval_realign(
+            ref, deg, frame_sym, frame_asym, fmask, gain,
+            frames_disturbance, win, hp, bark)
 
     # --- 10./11. time pooling -> raw PESQ -------------------------------------
     d_ind = _lpq_weight(frame_sym, fmask)
@@ -452,17 +476,113 @@ def _utterance_align(ref: jnp.ndarray, deg: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(valid, gathered, jnp.zeros((), dt))
 
 
+BAD_FRAME_THRESHOLD = 30.0   # P.862 threshold_for_bad_frames
+SMEAR_RANGE = 2              # P.862 bad-frame smear radius (gap closing)
+MIN_BAD_FRAMES = 5           # minimum run length that forms a bad interval
+MAX_BAD_INTERVALS = 8        # static re-alignment slots; later runs keep
+#                              their original (conservative) disturbance
+MAX_DELTA = 2048             # ±128 ms per-interval delay search window
+CORR_GATE = 0.5              # unreliable searches keep the original frames
+
+
+def _bad_interval_realign(ref, deg, frame_sym, frame_asym, fmask, gain,
+                          frames_disturbance, win, hp, bark):
+    """P.862 bad-interval re-alignment (ITU source dsp.c flow, re-derived
+    from the standard's description — reference consumer: intel.py:146).
+
+    The ITU flow: frames whose pooled disturbance exceeds 30 are grouped
+    into runs; runs of >= 5 frames form "bad intervals"; each interval gets
+    a fresh delay search (waveform cross-correlation of the interval's
+    reference samples against the degraded signal); the interval's frames
+    are re-windowed at the new delay, pushed through the SAME loudness /
+    disturbance stages (reusing the stored short-term gain, as the ITU
+    code reuses its gain memory), and the smaller per-frame disturbance
+    wins.  Unreliable searches (normalised correlation < 0.5) keep the
+    original frames.  Expressed for XLA with static shapes: run-ids by
+    cumsum over run starts, MAX_BAD_INTERVALS vmapped masked-FFT delay
+    searches, and ONE re-framed gather + spectra pass for all frames
+    (shift 0 outside bad intervals)."""
+    t_frames = frame_sym.shape[0]
+    n = ref.shape[-1]
+    bad = (frame_sym > BAD_FRAME_THRESHOLD) & (fmask > 0)
+    # ITU smear: a frame is (or stays) bad iff a bad frame lies within
+    # SMEAR_RANGE on its left AND within SMEAR_RANGE on its right — a
+    # morphological closing that joins runs separated by <= 2 good frames
+    # without growing isolated edges.
+    badf = bad.astype(jnp.float32)
+    k = np.ones(SMEAR_RANGE + 1, np.float32)
+    left = jnp.convolve(jnp.concatenate(
+        [jnp.zeros((SMEAR_RANGE,), jnp.float32), badf]), k,
+        mode="valid") > 0
+    right = jnp.convolve(jnp.concatenate(
+        [badf, jnp.zeros((SMEAR_RANGE,), jnp.float32)]), k,
+        mode="valid") > 0
+    bad = left & right & (fmask > 0)
+    prev = jnp.concatenate([jnp.zeros((1,), bool), bad[:-1]])
+    starts = bad & ~prev
+    rid = jnp.where(bad, jnp.cumsum(starts.astype(jnp.int32)) - 1, -1)
+
+    fd_s = jnp.fft.rfft(deg, n=2 * n)
+    max_delta = min(MAX_DELTA, n - 1)
+    ar_n = jnp.arange(n)
+    idx_f = jnp.arange(t_frames)
+
+    def slot_delta(u):
+        fm = rid == u                                        # [T]
+        qual = jnp.sum(fm) >= MIN_BAD_FRAMES
+        start = jnp.min(jnp.where(fm, idx_f, t_frames))
+        stop = jnp.max(jnp.where(fm, idx_f, -1))
+        # samples the run's frames cover (frame t: [t*HOP, t*HOP + N_FFT))
+        msk_s = (ar_n >= start * HOP) & (ar_n < stop * HOP + N_FFT)
+        r_m = jnp.where(msk_s, ref, 0.0)
+        xs = jnp.fft.irfft(jnp.fft.rfft(r_m, n=2 * n) * jnp.conj(fd_s),
+                           n=2 * n)
+        vals = jnp.concatenate([xs[:max_delta + 1], xs[-max_delta:]])
+        lags = jnp.concatenate([jnp.arange(max_delta + 1),
+                                jnp.arange(-max_delta, 0)])
+        best = jnp.argmax(vals)
+        # reliability: peak normalised by the interval energies (the ITU
+        # code's "best correlation" gate)
+        e_r = jnp.sum(r_m ** 2)
+        e_d = jnp.sum(jnp.where(msk_s, deg, 0.0) ** 2)
+        corr = vals[best] / jnp.sqrt(jnp.maximum(e_r * e_d, _EPS))
+        ok = qual & (corr > CORR_GATE)
+        return jnp.where(ok, lags[best], 0)
+
+    deltas = jax.vmap(slot_delta)(jnp.arange(MAX_BAD_INTERVALS))
+    in_slot = (rid >= 0) & (rid < MAX_BAD_INTERVALS)
+    shift = jnp.where(in_slot,
+                      deltas[jnp.clip(rid, 0, MAX_BAD_INTERVALS - 1)], 0)
+
+    # re-windowed degraded frames at the per-frame shift:
+    # aligned sample i comes from deg[i - delta] (delay > 0: deg lags ref)
+    base = (np.arange(t_frames)[:, None] * HOP
+            + np.arange(N_FFT)[None, :])                     # [T, 512]
+    src = base - shift[:, None]
+    valid = (src >= 0) & (src < n)
+    fdg = jnp.where(valid, deg[jnp.clip(src, 0, n - 1)], 0.0) * win
+    pd2 = jnp.abs(jnp.fft.rfft(fdg, axis=-1)) ** 2 * hp
+    ppd2 = SP_16K * (pd2 @ bark.T) * gain[:, None]
+    sym2, asym2 = frames_disturbance(ppd2)
+
+    replace = (shift != 0) & (sym2 < frame_sym)
+    return (jnp.where(replace, sym2, frame_sym),
+            jnp.where(replace, asym2, frame_asym))
+
+
 def mos_lqo_wb(raw_pesq: jnp.ndarray) -> jnp.ndarray:
     """P.862.2 wideband raw-score -> MOS-LQO mapping."""
     return 0.999 + 4.0 / (1.0 + jnp.exp(-1.3669 * raw_pesq + 3.8224))
 
 
 def pesq_p862(ref, deg, fs: int = 16000, align_global: bool = False,
-              align_utterances: bool = False):
+              align_utterances: bool = False,
+              align_bad_intervals: bool = False):
     """Host-friendly wrapper: trims to equal length, returns raw PESQ."""
     assert fs == FS, "pesq_p862 expects 16 kHz input"
     n = min(ref.shape[-1], deg.shape[-1])
     return pesq_p862_16k(jnp.asarray(ref)[..., :n],
                          jnp.asarray(deg)[..., :n],
                          align_global=align_global,
-                         align_utterances=align_utterances)
+                         align_utterances=align_utterances,
+                         align_bad_intervals=align_bad_intervals)
