@@ -368,6 +368,11 @@ def _global_align(ref: jnp.ndarray, deg: jnp.ndarray) -> jnp.ndarray:
 MAX_UTTS = 8         # static utterance slots for per-utterance alignment
 UTT_GAP_MS = 200.0   # silence gap that splits utterances (P.862 pesqpar.h
 #                      joins utterances closer than ~200 ms of silence)
+MIN_PIECE_BLOCKS = 25    # min voting blocks per split piece (~100 ms, the
+#                          ITU's minimum utterance-piece length); also the
+#                          vote margin a split must gain to be accepted
+SPLIT_WIN_BLOCKS = 40    # ±window (160 ms) for the local-delay vote
+SPLIT_CONF = 0.5         # min normalised local correlation to cast a vote
 
 
 def _utterance_align(ref: jnp.ndarray, deg: jnp.ndarray) -> jnp.ndarray:
@@ -378,11 +383,13 @@ def _utterance_align(ref: jnp.ndarray, deg: jnp.ndarray) -> jnp.ndarray:
     for XLA: 4 ms block energies -> a 25 dB-below-peak VAD -> utterance
     starts where activity resumes after >= UTT_GAP_MS of silence (a
     rolling-max over the gap window, no dynamic segment lists) -> one
-    envelope cross-correlation per static utterance slot (vmapped masked
-    FFTs) -> the degraded signal rebuilt with ONE sample gather, each
-    sample shifted by its utterance's delay.  Fine fractional-sample
-    alignment and bad-interval re-alignment are not implemented (delta
-    documented in the module docstring)."""
+    split-aware envelope correlation per static utterance slot (ITU
+    split_align: each slot may break into two pieces with independent
+    delays when the delay jumps mid-utterance — see slot_split) -> one
+    waveform-resolution refinement per piece -> the degraded signal
+    rebuilt with ONE sample gather, each sample shifted by its piece's
+    delay.  Residual gross misalignments are handled downstream by
+    `_bad_interval_realign`."""
     dt = ref.dtype
     blk = 64  # 4 ms at 16 kHz
     n = ref.shape[-1] // blk * blk
@@ -420,53 +427,126 @@ def _utterance_align(ref: jnp.ndarray, deg: jnp.ndarray) -> jnp.ndarray:
                            | (next_act - ar < ar - prev_act))
     uid = jnp.where(use_next, uid[jnp.clip(next_act, 0, m - 1)], uid)
 
-    # per-slot delay: cross-correlate the slot-masked reference envelope
-    # against the full degraded envelope (log1p compression like
-    # _global_align); empty slots correlate zeros -> lag 0 via the
-    # argmax-of-all-equal tie-break is not guaranteed, so gate on slot use
+    # per-slot SPLIT-AWARE delay (P.862 split_align, re-derived): a delay
+    # that CHANGES inside one utterance cannot be fit by a single lag, so
+    # each slot also tests splitting into two pieces with independent
+    # delays.  All prefix cross-correlations come from ONE cumulative sum:
+    # with M[t, l] = e[t] * d[t - l], prefix[s, l] = sum_{t<s} M[t, l] is
+    # the left-piece correlation for every candidate split s at once —
+    # O(m * lags) total, no extra FFTs.  The split is accepted only when
+    # the two pieces pick DIFFERENT lags and their combined correlation
+    # beats the unsplit peak by a margin (spurious splits on synchronous
+    # content fail one of the two gates).
     le = jnp.log1p(er)
     ld_ = jnp.log1p(ed)
     ld_ = ld_ - jnp.mean(ld_)
     max_lag = min(m - 1, (FS // blk) * 128 // 1000)           # ±128 ms
-    fd = jnp.fft.rfft(ld_, n=2 * m)
+    lags_b = jnp.arange(-max_lag, max_lag + 1)                # [L]
+    src_b = jnp.arange(m)[:, None] - lags_b[None, :]          # [m, L]
+    dmat = jnp.where((src_b >= 0) & (src_b < m),
+                     ld_[jnp.clip(src_b, 0, m - 1)], 0.0)     # [m, L]
+
+    # local delay VOTES for the split decision: each block correlates a
+    # ±SPLIT_WIN_BLOCKS window of the reference envelope against the
+    # degraded at every lag (normalised), and votes for its best lag when
+    # confident.  Synchronous content votes one lag almost everywhere, so
+    # a split can never explain MIN_PIECE_BLOCKS more votes than the
+    # single best lag — while a genuine mid-utterance jump moves a whole
+    # contiguous population of votes to a second lag.
+    le_c = le - jnp.mean(le)
+
+    def _boxsum(x):
+        """Window sum over t with radius SPLIT_WIN_BLOCKS (any trailing
+        dims), via padded cumsum."""
+        w = SPLIT_WIN_BLOCKS
+        cs = jnp.cumsum(x, axis=0)
+        z = jnp.zeros_like(cs[:1])
+        cs = jnp.concatenate([z, cs])                         # [m+1, ...]
+        hi = jnp.minimum(jnp.arange(m) + w + 1, m)
+        lo = jnp.maximum(jnp.arange(m) - w, 0)
+        return cs[hi] - cs[lo]
+
+    c_loc = _boxsum(le_c[:, None] * dmat)                     # [m, L]
+    e_loc = _boxsum(le_c ** 2)                                # [m]
+    b_loc = _boxsum(ld_ ** 2)                                 # [m]
+    bl_idx = jnp.clip(src_b, 0, m - 1)
+    bl = b_loc[bl_idx]                                        # [m, L]
+    nc = c_loc / (jnp.sqrt(e_loc[:, None] * bl) + _EPS)
+    local_lag = jnp.argmax(nc, axis=1)                        # [m] lag idx
+    conf = jnp.max(nc, axis=1)                                # [m]
+    votes = (jax.nn.one_hot(local_lag, lags_b.shape[0])
+             * (active & (conf > SPLIT_CONF))[:, None])       # [m, L]
+
+    def slot_split(u):
+        msk = (uid == u) & active
+        cnt = jnp.maximum(jnp.sum(msk), 1)
+        # raw slot correlation: the single-delay (unsplit) coarse estimate,
+        # as before the split stage existed
+        e = jnp.where(msk, le - jnp.sum(le * msk) / cnt, 0.0)
+        total_x = jnp.sum(e[:, None] * dmat, axis=0)          # [L]
+        d0 = lags_b[jnp.argmax(total_x)]
+        # vote accounting for the split decision
+        v = votes * (uid == u)[:, None]                       # [m, L]
+        pre = jnp.concatenate([jnp.zeros((1, v.shape[1]), v.dtype),
+                               jnp.cumsum(v, axis=0)])        # [m+1, L]
+        total_v = pre[-1]
+        suf = total_v[None, :] - pre
+        explained = jnp.max(pre, axis=1) + jnp.max(suf, axis=1)
+        c = jnp.concatenate([jnp.zeros((1,)),
+                             jnp.cumsum(jnp.sum(v, axis=1))])
+        ok = ((c >= MIN_PIECE_BLOCKS)
+              & (c[-1] - c >= MIN_PIECE_BLOCKS))              # [m+1]
+        score = jnp.where(ok, explained, -jnp.inf)
+        s_star = jnp.argmax(score)
+        unsplit_v = jnp.max(total_v)
+        d_l = lags_b[jnp.argmax(pre[s_star])]
+        d_r = lags_b[jnp.argmax(suf[s_star])]
+        do_split = (jnp.any(ok)
+                    & (score[s_star] >= unsplit_v + MIN_PIECE_BLOCKS)
+                    & (d_l != d_r))
+        split_at = jnp.where(do_split, s_star, m)
+        return (split_at,
+                jnp.where(do_split, d_l, d0),
+                jnp.where(do_split, d_r, d0))
+
+    split_at, d_left, d_right = jax.vmap(slot_split)(
+        jnp.arange(MAX_UTTS))                                 # [U] each
 
     # sample-level spectra for the fine refinement (one rfft of deg,
-    # one per slot of the masked ref)
+    # one per PIECE of the masked ref)
     nfull = ref.shape[-1]
     fd_s = jnp.fft.rfft(deg, n=2 * nfull)
 
-    def slot_delay(u):
-        msk = (uid == u) & active
-        cnt = jnp.maximum(jnp.sum(msk), 1)
-        e = jnp.where(msk, le - jnp.sum(le * msk) / cnt, 0.0)
-        xc = jnp.fft.irfft(jnp.fft.rfft(e, n=2 * m) * jnp.conj(fd),
-                           n=2 * m)
-        vals = jnp.concatenate([xc[:max_lag + 1], xc[-max_lag:]])
-        lags = jnp.concatenate([jnp.arange(max_lag + 1),
-                                jnp.arange(-max_lag, 0)])
-        coarse = lags[jnp.argmax(vals)] * blk                 # samples
-        # fine refinement (P.862's sample-resolution alignment stage):
-        # waveform cross-correlation in a ±1-block window around the
-        # coarse envelope estimate — a pure delay peaks exactly there
-        msk_s = jnp.repeat(msk, blk, total_repeat_length=n)
+    def piece_fine(u, side):
+        """P.862's sample-resolution stage: waveform cross-correlation in
+        a ±1-block window around the piece's coarse envelope estimate —
+        a pure delay peaks exactly there."""
+        in_side = jnp.where(side == 0, ar < split_at[u], ar >= split_at[u])
+        pm = (uid == u) & active & in_side
+        coarse = jnp.where(side == 0, d_left[u], d_right[u]) * blk
+        msk_s = jnp.repeat(pm, blk, total_repeat_length=n)
         msk_s = jnp.pad(msk_s, (0, nfull - n))
         r_m = jnp.where(msk_s, ref, 0.0)
         xs = jnp.fft.irfft(jnp.fft.rfft(r_m, n=2 * nfull)
                            * jnp.conj(fd_s), n=2 * nfull)
         win = jnp.roll(xs, blk - coarse)[:2 * blk + 1]
         d = coarse + jnp.argmax(win) - blk
-        return jnp.where(jnp.any(msk), d, 0)
+        return jnp.where(jnp.any(pm), d, 0)
 
-    delays = jax.vmap(slot_delay)(jnp.arange(MAX_UTTS))       # [U] samples
+    us = jnp.repeat(jnp.arange(MAX_UTTS), 2)
+    sides = jnp.tile(jnp.arange(2), MAX_UTTS)
+    delays = jax.vmap(piece_fine)(us, sides).reshape(
+        MAX_UTTS, 2)                                          # samples
 
     # rebuild: sample i of the aligned degraded comes from
-    # deg[i - delay(utterance(i))] (delay>0 means deg lags ref)
-    uid_s = jnp.repeat(uid, blk, total_repeat_length=n)
-    if ref.shape[-1] > n:  # ragged tail keeps the last utterance's delay
-        uid_s = jnp.concatenate(
-            [uid_s, jnp.full((ref.shape[-1] - n,), uid[-1] if m else 0,
-                             uid_s.dtype)])
-    shift = delays[uid_s]                                     # [n] samples
+    # deg[i - delay(piece(i))] (delay>0 means deg lags ref)
+    side_b = (ar >= split_at[uid]).astype(jnp.int32)          # [M]
+    shift_b = delays[uid, side_b]                             # [M] samples
+    shift = jnp.repeat(shift_b, blk, total_repeat_length=n)
+    if ref.shape[-1] > n:  # ragged tail keeps the last piece's delay
+        shift = jnp.concatenate(
+            [shift, jnp.full((ref.shape[-1] - n,),
+                             shift_b[-1] if m else 0, shift.dtype)])
     idx = jnp.clip(jnp.arange(ref.shape[-1]) - shift, 0,
                    ref.shape[-1] - 1)
     gathered = deg[idx]
