@@ -114,7 +114,8 @@ def score_corpus(clean_list, noise_list, enhanced_list, fs: int = 16000,
                  norm: bool = True, metrics: Sequence[str] = ALL_METRICS,
                  bucket_quant: int = 16384, vmap_chunk: int = 8, mesh=None,
                  clean_cache=None, clean_keys: Sequence = None,
-                 pool_raw_signals: bool = True):
+                 pool_raw_signals: bool = True,
+                 enhanced_keys: Sequence = None):
     """Bucketed, vmapped corpus scoring — optionally sharded over a mesh.
 
     Utterances are zero-padded into a few quantised length buckets and each
@@ -149,7 +150,20 @@ def score_corpus(clean_list, noise_list, enhanced_list, fs: int = 16000,
     RAW clean and noise chunk rows on device, so repeat scoring calls
     upload only the enhanced signal — corpus scoring through the remote
     tunnel is upload-bound, and clean/noise are immutable across the
-    training loop's epochs.  Requires each clean_keys entry to identify
+    training loop's epochs.
+
+    `enhanced_keys` (CleanSidePool form, PCM16 corpora only): one key per
+    utterance identifying the ENHANCED signal's content (e.g. the written
+    file path — the training loop writes epoch-suffixed names, so a key
+    never repeats with different samples).  Chunks whose enhanced rows
+    are already device-resident — the training loop inserts them right
+    after enhancement (train/loop.py _write_enhanced), PCM16-quantized
+    on device, bit-identical to the file — gather them from the pool
+    instead of uploading, making warm score_for_d upload-free (the wav
+    write stays host-side, as the reference requires,
+    train_nele.py:279-316).  Rows are masked to n_valid on device, so
+    any post-truncation tail in the enhancement buffer scores exactly
+    like the zero-padded host pack.  Requires each clean_keys entry to identify
     the (clean, noise) PAIR (true in the reference layout, where the
     noise file is looked up by the clean file's name — audio_util.py:133);
     pass False if the same key can recur with different noise.  Uploads
@@ -160,14 +174,6 @@ def score_corpus(clean_list, noise_list, enhanced_list, fs: int = 16000,
     """
     import jax
     import jax.numpy as jnp
-    from nelegan_tpu.dsp.resample import resample_poly
-    from nelegan_tpu.metrics.siib import (
-        siib_gauss_16k, siib_gauss_16k_with_klt, siib_klt_16k)
-    from nelegan_tpu.metrics.haspi import (
-        haspi_v2_24k, haspi_v2_clean_24k, haspi_v2_from_clean_24k,
-        resample_to_24k)
-    from nelegan_tpu.metrics.estoi import (
-        estoi_10k, estoi_clean_10k, estoi_from_clean_10k)
 
     assert fs == 16000
     n_utts = len(clean_list)
@@ -289,19 +295,39 @@ def score_corpus(clean_list, noise_list, enhanced_list, fs: int = 16000,
                     if pcm16_ok else s
             return buf
 
-        def _up(buf):
+        def _up_raw(buf):
             a = jnp.asarray(buf)
             if mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
                 a = jax.device_put(a, NamedSharding(mesh, P("data")))
+            return a
+
+        def _up(buf):
+            a = _up_raw(buf)
             return _pcm16_to_f32(a) if buf.dtype == np.int16 else a
 
-        _t0 = _tick()
-        enh = _pack(enhanced_list)
         raw_pooled = pool is not None and pool_raw_signals
-        _tock("pack_s", _t0)
+        nv_j = _up_raw(nv) if mesh is not None else jnp.asarray(nv)
         _t0 = _tick()
-        enh_j = _up(enh)
+        if pool is not None and enhanced_keys is not None and pcm16_ok:
+            # device-resident enhanced rows (see docstring): pool sig is
+            # (metric-independent) raw PCM16 rows at this bucket length;
+            # a warm training-loop chunk gathers instead of uploading.
+            # Keys are content-unique paths, so no n_valid in the key;
+            # the mask to nv_j reproduces the zero-padded host pack
+            # bit-for-bit (int16/32768 is the file's sample value).
+            ekeys = [(enhanced_keys[i],) for i in rows_i]
+            enh_rows = pool.ensure(("raw-enh", blen), ekeys,
+                                   lambda: _up_raw(_pack(enhanced_list)),
+                                   mesh=mesh)
+            enh_j = _pcm16_mask_to_f32(enh_rows, nv_j)
+            _tock("pack_s", _t0)
+            _t0 = _tick()
+        else:
+            enh = _pack(enhanced_list)
+            _tock("pack_s", _t0)
+            _t0 = _tick()
+            enh_j = _up(enh)
         if raw_pooled:
             # clean and noise are immutable across scoring calls: their
             # rows live in the device pool, keyed like every clean-side
@@ -329,10 +355,6 @@ def score_corpus(clean_list, noise_list, enhanced_list, fs: int = 16000,
         # enhanced + noise on device: f32 add of identical f32 values ==
         # the host-side sum it replaces, bit for bit
         ne_j = _f32_add(noz_j, enh_j)
-        nv_j = jnp.asarray(nv)
-        if mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-            nv_j = jax.device_put(nv_j, NamedSharding(mesh, P("data")))
         _tock("upload_s", _t0, barrier=ne_j)
 
         def cached_clean(name, shape_sig, compute):
@@ -352,41 +374,53 @@ def score_corpus(clean_list, noise_list, enhanced_list, fs: int = 16000,
             return v
 
         out: Dict[str, Any] = {}
+        probes: list = []  # (name, probe_dev) dispatched in metric order
+
+        def _probe(name):
+            # timing only: queue a scalar probe IMMEDIATELY after this
+            # metric's dispatch, BEFORE the next metric's programs.  The
+            # device executes FIFO, so a probe queued after *all* metrics
+            # (the r4 layout) waits for every metric's work — BENCH_r04's
+            # estoi_s=0.234 was the whole chunk's metric device time and
+            # haspi_s/siib_s were pure RTT (tools/prof_corpus.py).  Fetch
+            # order at the end matches queue order, so each fetch bounds
+            # exactly its own metric.
+            if _timing is not None:
+                probes.append((name, _scalar_probe()(out[name])))
+
+        mp = _metric_programs()
         if "estoi" in metrics:
-            y10 = resample_poly(ne_j, 5, 8)
-            nv10 = -(-nv_j * 5 // 8)
+            # one fused jitted program per section: the 16->10 kHz
+            # resample, the nv arithmetic and the metric core dispatch as
+            # ONE executable (the r4 layout dispatched them op-by-op:
+            # ~3 ms each through the tunnel, and the materialised
+            # intermediate cost HBM bandwidth)
             if key_tuple is None:
-                x10 = resample_poly(ref_j, 5, 8)
-                out["estoi"] = jax.vmap(estoi_10k)(x10, y10, nv10)
+                out["estoi"] = mp["estoi_full"](ref_j, ne_j, nv_j)
             else:
                 # the clean-side resample lives inside the compute lambda:
                 # a warm cache hit must not dispatch it at all
                 ec = cached_clean(
                     "estoi-clean", (blen,),
-                    lambda: jax.vmap(estoi_clean_10k)(
-                        resample_poly(ref_j, 5, 8), nv10))
-                out["estoi"] = jax.vmap(estoi_from_clean_10k)(y10, ec, nv10)
+                    lambda: mp["estoi_clean"](ref_j, nv_j))
+                out["estoi"] = mp["estoi_deg"](ne_j, ec, nv_j)
+            _probe("estoi")
         if "haspi" in metrics:
-            y24 = resample_to_24k(ne_j, fs)
-            nv24 = -(-nv_j * 3 // 2)
+            assert fs == 16000
             if key_tuple is None:
-                x24 = resample_to_24k(ref_j, fs)
-                out["haspi"] = jax.vmap(
-                    lambda a, b, v: haspi_v2_24k(a, b, n_valid=v)[0])(
-                    x24, y24, nv24)
+                out["haspi"] = mp["haspi_full"](ref_j, ne_j, nv_j)
             else:
                 cc = cached_clean(
                     "haspi-clean", (blen,),
-                    lambda: jax.vmap(
-                        lambda a, v: haspi_v2_clean_24k(a, n_valid=v))(
-                        resample_to_24k(ref_j, fs), nv24))
-                out["haspi"] = jax.vmap(
-                    lambda b, v, c: haspi_v2_from_clean_24k(
-                        b, c, n_valid=v)[0])(y24, nv24, cc)
+                    lambda: mp["haspi_clean"](ref_j, nv_j))
+                out["haspi"] = mp["haspi_deg"](ne_j, cc, nv_j)
+            _probe("haspi")
         if "pesq" in metrics:
-            out["pesq"] = jax.vmap(pesq_proxy_16k)(ref_j, enh_j, nv_j)
+            out["pesq"] = mp["pesq"](ref_j, enh_j, nv_j)
+            _probe("pesq")
         if "visqol" in metrics:
-            out["visqol"] = jax.vmap(visqol_proxy_16k)(ref_j, enh_j, nv_j)
+            out["visqol"] = mp["visqol"](ref_j, enh_j, nv_j)
+            _probe("visqol")
         if "siib" in metrics:
             # tile-to-20s rule (intel.py:93-97): only the VAD decision runs
             # on host (a few ms per chunk); the actual tiling is a modulo-
@@ -431,39 +465,29 @@ def score_corpus(clean_list, noise_list, enhanced_list, fs: int = 16000,
                 from jax.sharding import NamedSharding, PartitionSpec as P
                 sv_j = jax.device_put(sv_j, NamedSharding(mesh, P("data")))
 
-            def _tile_mod(sig, nvj, svj):
-                # Tried and rejected (r2): replacing this modulo-gather
-                # with log-doubling rolls (the ear_model.py group-delay
-                # trick; 7 rolls cover m_fac <= 100).  Measured on the
-                # real chip at 32x(32k-64k)-sample corpora: rolls 37-45
-                # ms/sig warm vs gather 34-36 — the 21 extra sb-length
-                # passes cost more than the one gather saves here.
-                # Re-try only if sb grows well past 2M or XLA's TPU
-                # gather lowering changes.
-                idx = jnp.arange(sb) % jnp.maximum(nvj, 1)
-                return sig[idx] * (jnp.arange(sb) < svj).astype(sig.dtype)
-
-            xs_j = jax.vmap(_tile_mod)(ref_j, nv_j, sv_j)
-            ys_j = jax.vmap(_tile_mod)(ne_j, nv_j, sv_j)
+            # tile + metric core fused into one jitted program (sb is a
+            # static arg: one compile per tiled-bucket length, as before)
             if key_tuple is None:
-                out["siib"] = jax.vmap(siib_gauss_16k)(xs_j, ys_j, sv_j)
+                out["siib"] = mp["siib_full"](ref_j, ne_j, nv_j, sv_j,
+                                              sb=sb)
             else:
                 u = cached_clean(
                     "siib-klt", (),
-                    lambda: jax.vmap(siib_klt_16k)(xs_j, sv_j))
-                out["siib"] = jax.vmap(siib_gauss_16k_with_klt)(
-                    xs_j, ys_j, sv_j, u)
+                    lambda: mp["siib_clean"](ref_j, nv_j, sv_j, sb=sb))
+                out["siib"] = mp["siib_deg"](ref_j, ne_j, nv_j, sv_j, u,
+                                             sb=sb)
+            _probe("siib")
 
         if _timing is not None:
-            # barrier per metric IN DISPATCH ORDER: each delta attributes
-            # that metric's device time (cache-miss clean-side computes
-            # dispatched inside a metric's block are charged to it).
-            # Shared jitted probe — see _tock; the first timing rep of a
-            # process still pays one probe compile per distinct shape, so
-            # callers comparing sections should time a SECOND rep.
-            for m_name, val in out.items():
+            # fetch the per-metric probes in QUEUE order: probe_i was
+            # dispatched before metric_{i+1}'s programs, so its fetch
+            # bounds exactly metric_i's device work (plus one tunnel RTT).
+            # The first timing rep of a process still pays one probe
+            # compile per distinct shape, so callers comparing sections
+            # should time a SECOND rep.
+            for m_name, pr in probes:
                 _t0 = _time.perf_counter()
-                np.asarray(_scalar_probe()(val))
+                np.asarray(pr)
                 _timing[m_name + "_s"] = (_timing.get(m_name + "_s", 0.0)
                                           + _time.perf_counter() - _t0)
 
@@ -539,6 +563,88 @@ def _scalar_probe():
 
 
 @functools.lru_cache(maxsize=None)
+def _metric_programs():
+    """One fused jitted program per score_corpus metric section.
+
+    Each program folds the per-section plumbing — the 16->10 kHz /
+    16->24 kHz resample of the noisy-enhanced signal, the n_valid rate
+    arithmetic, the SIIB modulo-gather tiling — into the metric core, so
+    a section is ONE device dispatch instead of 3-6 (op-by-op dispatch
+    costs ~3 ms each through the remote tunnel) and XLA fuses the
+    intermediates instead of materialising them in HBM.  jit caches per
+    input shape; lru_cache keeps one wrapper set per process (a fresh
+    jax.jit wrapper per call would recompile — remote compiles cost
+    seconds to minutes).
+
+    SIIB's tiled length `sb` is a static argument: one compile per
+    (bucket, tiled-bucket) pair, exactly the compile count of the
+    unfused layout.  The tile stays the modulo-gather formulation —
+    log-doubling rolls were tried and rejected in r2 (37-45 ms/sig vs
+    34-36 for the gather at 32x(32k-64k); re-try only if sb grows well
+    past 2M or XLA's TPU gather lowering changes).
+    """
+    import jax
+    from nelegan_tpu.dsp.resample import resample_poly
+    from nelegan_tpu.metrics.siib import (
+        siib_gauss_16k, siib_gauss_16k_with_klt, siib_klt_16k)
+    from nelegan_tpu.metrics.haspi import (
+        haspi_v2_24k, haspi_v2_clean_24k, haspi_v2_from_clean_24k,
+        resample_to_24k)
+    from nelegan_tpu.metrics.estoi import (
+        estoi_10k, estoi_clean_10k, estoi_from_clean_10k)
+
+    def nv10(nv):
+        return -(-nv * 5 // 8)
+
+    def nv24(nv):
+        return -(-nv * 3 // 2)
+
+    def tile(sig, nvj, svj, sb):
+        idx = jnp.arange(sb) % jnp.maximum(nvj, 1)
+        return sig[idx] * (jnp.arange(sb) < svj).astype(sig.dtype)
+
+    progs = {
+        "estoi_full": lambda ref, ne, nv: jax.vmap(estoi_10k)(
+            resample_poly(ref, 5, 8), resample_poly(ne, 5, 8), nv10(nv)),
+        "estoi_clean": lambda ref, nv: jax.vmap(estoi_clean_10k)(
+            resample_poly(ref, 5, 8), nv10(nv)),
+        "estoi_deg": lambda ne, ec, nv: jax.vmap(estoi_from_clean_10k)(
+            resample_poly(ne, 5, 8), ec, nv10(nv)),
+        "haspi_full": lambda ref, ne, nv: jax.vmap(
+            lambda a, b, v: haspi_v2_24k(a, b, n_valid=v)[0])(
+            resample_to_24k(ref, 16000), resample_to_24k(ne, 16000),
+            nv24(nv)),
+        "haspi_clean": lambda ref, nv: jax.vmap(
+            lambda a, v: haspi_v2_clean_24k(a, n_valid=v))(
+            resample_to_24k(ref, 16000), nv24(nv)),
+        "haspi_deg": lambda ne, cc, nv: jax.vmap(
+            lambda b, v, c: haspi_v2_from_clean_24k(
+                b, c, n_valid=v)[0])(
+            resample_to_24k(ne, 16000), nv24(nv), cc),
+        "pesq": lambda ref, enh, nv: jax.vmap(pesq_proxy_16k)(
+            ref, enh, nv),
+        "visqol": lambda ref, enh, nv: jax.vmap(visqol_proxy_16k)(
+            ref, enh, nv),
+        "siib_full": lambda ref, ne, nv, sv, sb: jax.vmap(
+            siib_gauss_16k)(
+            jax.vmap(lambda s, a, b: tile(s, a, b, sb))(ref, nv, sv),
+            jax.vmap(lambda s, a, b: tile(s, a, b, sb))(ne, nv, sv), sv),
+        "siib_clean": lambda ref, nv, sv, sb: jax.vmap(siib_klt_16k)(
+            jax.vmap(lambda s, a, b: tile(s, a, b, sb))(ref, nv, sv), sv),
+        "siib_deg": lambda ref, ne, nv, sv, u, sb: jax.vmap(
+            siib_gauss_16k_with_klt)(
+            jax.vmap(lambda s, a, b: tile(s, a, b, sb))(ref, nv, sv),
+            jax.vmap(lambda s, a, b: tile(s, a, b, sb))(ne, nv, sv),
+            sv, u),
+    }
+    out = {k: jax.jit(v) for k, v in progs.items()
+           if not k.startswith("siib")}
+    out.update({k: jax.jit(progs[k], static_argnames=("sb",))
+                for k in ("siib_full", "siib_clean", "siib_deg")})
+    return out
+
+
+@functools.lru_cache(maxsize=None)
 def _jit_helpers():
     """Shared jitted one-op programs (a fresh jax.jit wrapper per call
     would recompile every time — remote compiles cost seconds)."""
@@ -551,6 +657,40 @@ def _jit_helpers():
 def _pcm16_to_f32(a):
     """On-device PCM16 -> f32, the decoder's formula (data/wavio.py)."""
     return _jit_helpers()[0](a)
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_pcm16_mask():
+    import jax
+    import jax.numpy as jnp
+    return jax.jit(lambda a, nvr: (a.astype(jnp.float32) / 32768.0)
+                   * (jnp.arange(a.shape[-1]) < nvr[:, None]
+                      ).astype(jnp.float32))
+
+
+def _pcm16_mask_to_f32(a, nv_rows):
+    """Pooled enhanced rows -> f32 chunk: decode PCM16 and zero the tail
+    beyond each row's n_valid, reproducing the zero-padded host pack."""
+    return _jit_pcm16_mask()(a, nv_rows)
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_pad_cols():
+    """Zero-pad [B, n] rows to the scoring bucket width (static pad amount
+    via shape-keyed jit cache) — used by the training loop to insert
+    enhancement-bucket (4096-quantised) rows into the scoring-bucket
+    (16384-quantised) enhanced-row pool."""
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnames=("width",))
+    def pad(a, width: int):
+        return jnp.pad(a, ((0, 0), (0, width - a.shape[-1])))
+    return pad
+
+
+def pad_rows_to(a, width: int):
+    return _jit_pad_cols()(a, width=width)
 
 
 def _f32_add(a, b):

@@ -41,6 +41,7 @@ from nelegan_tpu.data.pipeline import (BucketedLoader, CorpusIndex,
                                        get_filepaths)
 from nelegan_tpu.data.wavio import read_wav, write_wav_pcm16
 from nelegan_tpu.metrics import ALL_METRICS
+from nelegan_tpu.metrics import pad_rows_to as metrics_pad_rows_to
 from nelegan_tpu.train import gan
 from nelegan_tpu.train.checkpoint import save_checkpoint, load_checkpoint
 from nelegan_tpu.train.replay import ReplayBuffer, ReplayEntry
@@ -359,6 +360,8 @@ class Trainer:
             [l for _, _, l in batches]))
         written = []
         off = loff = 0
+        pool = (self._clean_side_cache
+                if hasattr(self._clean_side_cache, "ensure") else None)
         for batch_paths, q_dev, _ in batches:
             bs, blen = q_dev.shape
             wavs = flat[off:off + bs * blen].reshape(bs, blen)
@@ -374,6 +377,20 @@ class Trainer:
                 self._host_sig[p] = (
                     wavs[i, :out_lens[i]].astype(np.float32) / 32768.0)
                 written.append(p)
+            if pool is not None:
+                # park the device-resident PCM16 rows in the scoring pool
+                # so warm score_for_d/validate gathers them instead of
+                # re-uploading what we just fetched (the pool rows ARE the
+                # file's samples; score_corpus masks to n_valid on device).
+                # The loader's 4096-quantised bucket nests inside the
+                # scoring 16384 bucket, so one zero-pad per batch aligns
+                # the widths.
+                sq = -(-blen // 16384) * 16384
+                keys = [(p,) for p in batch_paths]
+                keys += [keys[-1]] * (bs - len(keys))
+                pool.ensure(("raw-enh", sq), keys,
+                            lambda: metrics_pad_rows_to(q_dev, sq),
+                            mesh=self.mesh)
         return written
 
     def _cached_read(self, path: str) -> np.ndarray:
@@ -402,7 +419,8 @@ class Trainer:
         return score_corpus(cleans, noises, enhs, self.cfg.train.fs,
                             norm=norm, metrics=metrics, mesh=self.mesh,
                             clean_cache=self._clean_side_cache,
-                            clean_keys=keys)
+                            clean_keys=keys,
+                            enhanced_keys=list(enhanced_paths))
 
     # ------------------------------------------------------------------
     def _cached_bands(self, batch) -> tuple:

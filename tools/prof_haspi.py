@@ -1,79 +1,128 @@
-"""Profile HASPI v2 component costs on the TPU (fetch-timed)."""
-import sys, time
-sys.path.insert(0, "/root/repo")
-import numpy as np
+"""Stage-level timing of the warm degraded-side HASPI path on the chip.
+
+prof_corpus2.py: the corpus HASPI section is ~160 ms per 8-utt chunk at
+bucket 49152 (n24 = 73728) — 85% of warm metric time.  This times each
+stage of haspi_v2_from_clean_24k (metrics/haspi/__init__.py:136) as its
+own jitted program (pipelined protocol: 5 in-order dispatches, 1 fetch)
+to find where the 20 ms/signal goes.
+"""
+from __future__ import annotations
+
+import time
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from nelegan_tpu.metrics.haspi import (
-    haspi_v2_24k, haspi_v2_clean_24k, haspi_v2_from_clean_24k,
-    resample_to_24k)
-from nelegan_tpu.metrics.haspi.ear_model import ear_model
-from nelegan_tpu.metrics.haspi import chains
+    _rms_normalize_one, _single_side_ear, _tail_mask, center_freq, NCHAN,
+    haspi_v2_clean_24k, haspi_v2_from_clean_24k, chains)
+from nelegan_tpu.metrics.haspi.ear_model import group_delay_comp
 
-rng = np.random.RandomState(0)
-n16 = 34000  # ~2.1 s @16k
-x = (0.03 * rng.randn(n16)).astype(np.float32)
-y = (0.03 * rng.randn(n16)).astype(np.float32)
-x24 = resample_to_24k(jnp.asarray(x), 16000)
-y24 = resample_to_24k(jnp.asarray(y), 16000)
-n24 = x24.shape[-1]
-print("n24 =", n24)
+B, N24 = 8, 73728
+NV = 50400
 
 
-def timeit(name, fn, iters=5):
-    r = fn()
-    jax.tree.map(np.asarray, r)  # compile + settle
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        r = fn()
-    jax.tree.map(np.asarray, r)  # fetch once; device executes in order
-    dt = (time.perf_counter() - t0) / iters
-    print(f"{name:36s} {1000*dt:8.2f} ms")
-    return dt
+def timed(label, fn, *args, reps=5):
+    out = fn(*args)
+    np.asarray(jax.tree.leaves(out)[0].ravel()[:1])
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = fn(*args)
+        np.asarray(jax.tree.leaves(out)[0].ravel()[:1])
+        dt = (time.perf_counter() - t0) / reps
+        best = dt if best is None else min(best, dt)
+    print(f"{label:44s} {1000*best:8.2f} ms/call", flush=True)
+    return out
 
 
-# full pair path
-timeit("haspi_v2_24k (pair)", lambda: haspi_v2_24k(x24, y24)[0])
-# split paths
-clean = haspi_v2_clean_24k(x24)
-clean = jax.tree.map(jnp.asarray, clean)
-timeit("haspi_v2_clean_24k", lambda: haspi_v2_clean_24k(x24)["bwx"])
-timeit("haspi_v2_from_clean (degraded)",
-       lambda: haspi_v2_from_clean_24k(y24, clean)[0])
+def main():
+    rng = np.random.RandomState(0)
+    y = np.zeros((B, N24), np.float32)
+    y[:, :NV] = rng.randn(B, NV).astype(np.float32) * 0.1
+    nv = np.full((B,), NV, np.int32)
+    yd, nvd = jax.device_put((y, nv))
+    cfreq = center_freq(NCHAN)
 
-# components
-em = jax.jit(lambda a, b: ear_model(a, b, itype=0, level1=65.0,
-                                    noise_scale=0.0))
-timeit("ear_model (pair)", lambda: em(x24, y24).xdb)
+    cl = jax.jit(jax.vmap(lambda a, v: haspi_v2_clean_24k(a, n_valid=v)))(
+        yd, nvd)
+    cl = jax.tree.map(lambda a: jax.device_put(np.asarray(a)), cl)
 
-ear = em(x24, y24)
-ear = jax.tree.map(jnp.asarray, ear)
-ef = jax.jit(lambda a, b: chains.env_filt(a, b, 320.0, 2560.0))
-timeit("env_filt", lambda: ef(jnp.asarray(ear.xdb), jnp.asarray(ear.ydb)))
-xlp, ylp = ef(jnp.asarray(ear.xdb), jnp.asarray(ear.ydb))
-xlp, ylp = np.asarray(xlp), np.asarray(ylp)
+    full = jax.jit(jax.vmap(lambda b, v, c: haspi_v2_from_clean_24k(
+        b, c, n_valid=v)[0]))
+    timed("from_clean FULL", full, yd, nvd, cl)
 
-cc = jax.jit(lambda a, b: chains.cep_coef(a, b, 2.5, 0.1, 6,
-                                          key=jax.random.PRNGKey(0),
-                                          noise_scale=0.0))
-timeit("cep_coef", lambda: cc(jnp.asarray(xlp), jnp.asarray(ylp)))
-xc, yc, cnt = cc(jnp.asarray(xlp), jnp.asarray(ylp))
-xc, yc = np.asarray(xc), np.asarray(yc)
+    norm = jax.jit(jax.vmap(_rms_normalize_one))
+    yn = timed("rms_normalize", norm, yd, nvd)
+    yn = jax.device_put(np.asarray(yn))
 
-mf = jax.jit(lambda a, b, c: chains.mod_filt_corr(a, b, c, 2560.0))
-timeit("mod_filt_corr", lambda: mf(jnp.asarray(xc), jnp.asarray(yc), cnt))
+    ear = jax.jit(jax.vmap(lambda a, v: _single_side_ear(a, 65.0, v)))
+    ydb, bws = timed("single_side_ear (core)", ear, yn, nvd)
+    ydb = jax.device_put(np.asarray(ydb))
 
-# chunk-batched (vmap 8): the corpus-scoring formulation
-X = jnp.asarray(np.stack([np.asarray(x24)] * 8))
-Y = jnp.asarray(np.stack([np.asarray(y24)] * 8))
-NV = jnp.full((8,), n24, jnp.int32)
-pv = jax.jit(jax.vmap(lambda a, b, v: haspi_v2_24k(a, b, n_valid=v)[0]))
-dt = timeit("vmap8 pair", lambda: pv(X, Y, NV), iters=3)
-print(f"  -> {8/dt:.1f} pair scores/s")
-cv = jax.jit(jax.vmap(lambda a, v: haspi_v2_clean_24k(a, n_valid=v)))
-cl8 = jax.tree.map(jnp.asarray, cv(X, NV))
-dv = jax.jit(jax.vmap(
-    lambda b, v, c: haspi_v2_from_clean_24k(b, c, n_valid=v)[0]))
-dt = timeit("vmap8 degraded-from-clean", lambda: dv(Y, NV, cl8), iters=3)
-print(f"  -> {8/dt:.1f} degraded scores/s")
+    gdc = jax.jit(jax.vmap(lambda e, bw, v: _tail_mask(
+        group_delay_comp(e, bw, cfreq), v)))
+    ydbc = timed("group_delay_comp+mask", gdc, ydb, cl["bwx"], nvd)
+    ydbc = jax.device_put(np.asarray(ydbc))
+
+    ef = jax.jit(jax.vmap(lambda e: chains.env_filt_one(e, 320.0, 2560.0)))
+    ylp = timed("env_filt_one (320/2560)", ef, ydbc)
+    ylp = jax.device_put(np.asarray(ylp))
+
+    key = jax.random.PRNGKey(0)
+
+    def tail(xlp, ylp_, v):
+        _, k = jax.random.split(key)
+        xcep, ycep, count = chains.cep_coef(xlp, ylp_, 2.5, 0.1, 6,
+                                            key=k, noise_scale=0.0)
+        avecm = chains.mod_filt_corr(xcep, ycep, count, 2560.0)
+        return avecm
+
+    tl = jax.jit(jax.vmap(tail))
+    timed("cep_coef+mod_filt_corr", tl, cl["xlp"], ylp, nvd)
+
+    # inside the ear core: split demod/control/signal via a cut-down core
+    from nelegan_tpu.metrics.haspi.ear_model import (
+        middle_ear, _carrier, _gammatone_coeffs, loss_parameters)
+    from nelegan_tpu.ops.iir import _fft_len_ir, gammatone_ir
+
+    me = jax.jit(jax.vmap(middle_ear))
+    mid = timed("middle_ear", me, yn)
+    mid = jax.device_put(np.asarray(mid))
+
+    n = N24
+    l_gam = min(n, 4096)
+    m_gam = _fft_len_ir(n, l_gam)
+    _, bw1, _, _, _ = loss_parameters(jnp.full(6, 100.0), cfreq)
+    bw1 = jax.device_put(np.asarray(bw1))
+
+    def demod(midb):
+        def one(cf):
+            cosc, sinc = _carrier(n, cf, jnp.float32)
+            return (jnp.fft.rfft(midb * cosc, m_gam),
+                    jnp.fft.rfft(midb * sinc, m_gam))
+        return jax.vmap(one)(jnp.asarray(cfreq, jnp.float32))
+
+    dm = jax.jit(jax.vmap(demod))
+    xc, xs = timed("demod 32ch (2 rfft @98304)", dm, mid)
+    xc = jax.device_put(np.asarray(xc))
+    xs = jax.device_put(np.asarray(xs))
+
+    def ctl_filter(xc_f, xs_f, bw1_v):
+        def one(xcf, xsf, bwn, cf):
+            a, _, _, gain = _gammatone_coeffs(bwn, cf, jnp.float32)
+            h_f = jnp.fft.rfft(gammatone_ir(a, l_gam, jnp.float32), m_gam)
+            ur = jnp.fft.irfft(xcf * h_f, m_gam)[..., :n]
+            ui = jnp.fft.irfft(xsf * h_f, m_gam)[..., :n]
+            return gain * jnp.sqrt(ur * ur + ui * ui + 1e-20)
+        return jax.vmap(one)(xc_f, xs_f, bw1_v,
+                             jnp.asarray(cfreq, jnp.float32))
+
+    cf_ = jax.jit(jax.vmap(lambda a, b: ctl_filter(a, b, bw1)))
+    timed("control gfilter (2 irfft + env)", cf_, xc, xs)
+
+
+if __name__ == "__main__":
+    main()
