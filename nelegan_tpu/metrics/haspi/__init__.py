@@ -66,12 +66,19 @@ HASPI_V2_WEIGHTS = np.array([1.361, 1.521, 1.164, 0.492, 0.436, 0.690,
                              1.142, 0.816, 1.576, 2.269])
 
 
-@functools.partial(jax.jit, static_argnames=("level1", "noise_scale"))
+@functools.partial(jax.jit, static_argnames=("level1", "noise_scale",
+                                             "itype"))
 def haspi_v2_24k(x24: jnp.ndarray, y24: jnp.ndarray, level1: float = 65.0,
                  key: jax.Array | None = None, noise_scale: float = 0.0,
-                 n_valid: jnp.ndarray | None = None):
+                 n_valid: jnp.ndarray | None = None,
+                 hl: jnp.ndarray | None = None, itype: int = 0):
     """HASPI version 2 on pre-aligned equal-length 24 kHz signals
     (reference haspi_v2, pyhaspi2.py:76-107).  Returns (score, aveCM[10]).
+
+    hl ([6] audiogram at 250..6000 Hz, default normal hearing) matches the
+    reference's HL argument; itype=1 additionally runs the NAL-R
+    compensated reference-input path (ear_model.nalr_apply — the
+    reference's own eb_NALR is an unimplemented stub, pyhaspi2.py:830).
 
     n_valid (traced, optional): true sample count of zero-padded buffers;
     scoring then matches trimmed-signal scoring (bucketed/vmapped use)."""
@@ -79,7 +86,7 @@ def haspi_v2_24k(x24: jnp.ndarray, y24: jnp.ndarray, level1: float = 65.0,
     if key is None:
         key = jax.random.PRNGKey(0)
     k_ear, k_cep = jax.random.split(key)
-    ear = ear_model(x24, y24, itype=0, level1=level1, key=k_ear,
+    ear = ear_model(x24, y24, hl=hl, itype=itype, level1=level1, key=k_ear,
                     noise_scale=noise_scale, n_valid=n_valid)
     xlp, ylp = chains.env_filt(ear.xdb, ear.ydb, 320.0, 2560.0)
     xcep, ycep, count = chains.cep_coef(xlp, ylp, 2.5, 0.1, 6, key=k_cep,

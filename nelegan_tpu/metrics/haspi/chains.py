@@ -431,42 +431,62 @@ def mod_filt_corr(xcep: jnp.ndarray, ycep: jnp.ndarray, count,
     ebm_ModCorr, pyhaspi2.py:254-339) fused: returns aveCM [nmod].
 
     xcep, ycep: compacted [nsub, nbasis] tracks with `count` valid rows.
+
+    All (band, signal, quadrature-leg) FIR passes run as ONE batched FFT
+    convolution: the per-band lax.conv layout dispatched 40 tiny convs
+    whose fixed per-op cost dominated (this stage was 33 of a 160 ms
+    warm degraded-side HASPI chunk on v5e, tools/prof_haspi.py).  The
+    kernel spectra are trace-time numpy constants; the per-band output
+    offset (K-1-nhalf, reducing to nhalf for the symmetric hann kernels)
+    is applied by static slices of the shared inverse transform.
     """
+    from nelegan_tpu.ops.iir import _fft_len_ir
     nsub, nbasis = xcep.shape
     cf, kernels, nhalf = _mod_filters(fsub)
+    nmod = len(cf)
     fnyq = 0.5 * fsub
-    n = jnp.arange(1, nsub + 1, dtype=xcep.dtype)
-    live = (jnp.arange(nsub) < count).astype(xcep.dtype)[:, None]
+    dt = xcep.dtype
+    n = jnp.arange(1, nsub + 1, dtype=dt)
+    live = (jnp.arange(nsub) < count).astype(dt)         # [nsub]
+
+    # demod carriers, all bands at once (band 0: no demodulation)
+    ph = (jnp.pi / fnyq) * jnp.asarray(cf, dt)[:, None] * n[None, :]
+    co = jnp.sqrt(jnp.asarray(2.0, dt)) * jnp.cos(ph)    # [nmod, nsub]
+    si = jnp.sqrt(jnp.asarray(2.0, dt)) * jnp.sin(ph)
+    co = co.at[0].set(1.0)
+    si = si.at[0].set(0.0)
+
+    m = _fft_len_ir(nsub, max(int(k.shape[0]) for k in kernels))
+    npdt = np.float64 if dt == jnp.float64 else np.float32
+    # flipped-kernel spectra (correlation = convolution with the flipped
+    # kernel; hann windows are symmetric, but don't rely on it)
+    kf = np.stack([np.fft.rfft(k[::-1].astype(npdt), m) for k in kernels])
+    kf_j = jnp.asarray(kf, jnp.complex128 if dt == jnp.float64
+                       else jnp.complex64)               # [nmod, m/2+1]
+
+    # [nmod, 4, nbasis, nsub]: (x_re, x_im, y_re, y_im) legs per band
+    legs = jnp.stack([
+        xcep.T[None] * co[:, None, :], -xcep.T[None] * si[:, None, :],
+        ycep.T[None] * co[:, None, :], -ycep.T[None] * si[:, None, :],
+    ], 1)
+    conv = jnp.fft.irfft(jnp.fft.rfft(legs, m) * kf_j[:, None, None, :],
+                         m)
+    # per-band static output offset K-1-nhalf into the linear convolution
+    outs = [jax.lax.dynamic_slice_in_dim(
+        conv[k], int(kernels[k].shape[0]) - 1 - int(nhalf[k]), nsub, -1)
+        for k in range(nmod)]
+    f = jnp.stack(outs, 0).astype(dt)                    # [nmod, 4, nb, ns]
+    xf = (f[:, 0] * co[:, None, :] - f[:, 1] * si[:, None, :]) * live
+    yf = (f[:, 2] * co[:, None, :] - f[:, 3] * si[:, None, :]) * live
 
     small = 1e-30
-    cms = []
-    for k, kern in enumerate(kernels):
-        if k == 0:
-            co = jnp.ones((nsub, 1), xcep.dtype)
-            si = jnp.zeros((nsub, 1), xcep.dtype)
-        else:
-            ph = jnp.pi * cf[k] / fnyq * n
-            co = (jnp.sqrt(2.0) * jnp.cos(ph))[:, None]
-            si = (jnp.sqrt(2.0) * jnp.sin(ph))[:, None]
-
-        def demod_filt(cep):
-            nh = int(nhalf[k])
-            nfir1 = kern.shape[0]
-            fre = _corr_time(cep * co, kern, nh, nfir1 - 1 - nh)
-            fim = _corr_time(-cep * si, kern, nh, nfir1 - 1 - nh)
-            return fre * co - fim * si
-
-        xf = demod_filt(xcep) * live                      # [nsub, nbasis]
-        yf = demod_filt(ycep) * live
-        xm = jnp.sum(xf, 0) / count
-        ym = jnp.sum(yf, 0) / count
-        xf = (xf - xm) * live
-        yf = (yf - ym) * live
-        xs = jnp.sum(xf * xf, 0)
-        ys = jnp.sum(yf * yf, 0)
-        cm = jnp.where((xs < small) | (ys < small), 0.0,
-                       jnp.abs(jnp.sum(xf * yf, 0))
+    xm = jnp.sum(xf, -1, keepdims=True) / count
+    ym = jnp.sum(yf, -1, keepdims=True) / count
+    xf = (xf - xm) * live
+    yf = (yf - ym) * live
+    xs = jnp.sum(xf * xf, -1)                            # [nmod, nbasis]
+    ys = jnp.sum(yf * yf, -1)
+    cm_all = jnp.where((xs < small) | (ys < small), 0.0,
+                       jnp.abs(jnp.sum(xf * yf, -1))
                        / jnp.sqrt(jnp.maximum(xs * ys, small)))
-        cms.append(cm)                                    # [nbasis]
-    cm_all = jnp.stack(cms, 0)                            # [nmod, nbasis]
-    return jnp.mean(cm_all[:, 1:6], axis=1)               # ave over basis 2-6
+    return jnp.mean(cm_all[:, 1:6], axis=1)              # ave over basis 2-6

@@ -77,6 +77,63 @@ def loss_parameters(hl: jnp.ndarray, cfreq: np.ndarray):
     return attn_ohc, bw, lowknee, cr_out, attn_ihc
 
 
+#: NAL-R per-frequency insertion-gain corrections (dB) at the audiometric
+#: frequencies [250, 500, 1000, 2000, 4000, 6000] Hz (Byrne & Dillon 1986).
+_NALR_CORR = (-17.0, -8.0, 1.0, -1.0, -2.0, -2.0)
+
+
+def nalr_fir(hl: jnp.ndarray, nfir: int = 140,
+             fsamp: int = FSAMP) -> jnp.ndarray:
+    """NAL-R prescription as a linear-phase FIR — [nfir+1] taps.
+
+    The reference's own `eb_NALR` is an unimplemented stub
+    (reference: pyHASPI/pyhaspi2.py:830-831 raises NotImplementedError),
+    so this follows Kates' published HASPI eb_NALR: insertion gain
+    X + 0.31*HL + correction per audiometric band with X = 0.15 * (sum of
+    HL at 500/1000/2000 Hz)/3, floored at 0 dB, interpolated onto a
+    fir2-style frequency-sampling linear-phase design (512-point grid,
+    hamming window).  All-zero HL yields a pure nfir/2-sample delay, the
+    published zero-loss branch.
+    """
+    dt = hl.dtype
+    aud = jnp.asarray([250.0, 500.0, 1000.0, 2000.0, 4000.0, 6000.0], dt)
+    fmax = 0.5 * fsamp
+    x = 0.05 * (hl[1] + hl[2] + hl[3])          # 0.15 * three-freq average
+    gdb = jnp.maximum(x + 0.31 * hl + jnp.asarray(_NALR_CORR, dt), 0.0)
+    fv = jnp.concatenate([jnp.zeros(1, dt), aud,
+                          jnp.asarray([fmax], dt)])
+    gv = jnp.concatenate([gdb[:1], gdb, gdb[-1:]])
+    npt = 512                                    # MATLAB fir2 grid
+    grid = jnp.linspace(0.0, fmax, npt + 1).astype(dt)
+    mag = 10.0 ** (jnp.interp(grid, fv, gv) / 20.0)
+    # linear phase: delay of nfir/2 samples — bin k of the 2*npt-point
+    # inverse transform carries phase -2*pi*k*(nfir/2)/(2*npt)
+    k = jnp.arange(npt + 1, dtype=dt)
+    h_f = mag * jnp.exp(-1j * jnp.pi * k * (0.5 * nfir / npt)).astype(
+        jnp.complex128 if dt == jnp.float64 else jnp.complex64)
+    taps = jnp.fft.irfft(h_f, 2 * npt)[: nfir + 1]
+    taps = taps * jnp.asarray(np.hamming(nfir + 1), dt)
+    # zero-loss branch: pure delay (no filtering)
+    delta = jnp.zeros(nfir + 1, dt).at[nfir // 2].set(1.0)
+    return jnp.where(jnp.max(hl) > 0.0, taps, delta)
+
+
+def nalr_apply(x: jnp.ndarray, hl: jnp.ndarray, nfir: int = 140,
+               fsamp: int = FSAMP) -> jnp.ndarray:
+    """Reference itype=1 input path (pyhaspi2.py:1176-1181): full
+    convolution with the NAL-R FIR, then the slice [nfir : nfir+nsamp] —
+    reproducing the reference's indexing verbatim (it discards nfir
+    leading samples against the filter's nfir/2 delay)."""
+    n = x.shape[-1]
+    taps = nalr_fir(hl, nfir, fsamp).astype(x.dtype)
+    lhs = x.reshape((-1, 1, n))
+    rhs = taps[::-1].reshape((1, 1, -1))
+    full = jax.lax.conv_general_dilated(
+        lhs, rhs, (1,), [(nfir, nfir)],
+        dimension_numbers=("NCH", "OIH", "NCH"))
+    return full.reshape(x.shape[:-1] + (-1,))[..., nfir:nfir + n]
+
+
 def middle_ear(x: jnp.ndarray) -> jnp.ndarray:
     """2-stage middle-ear filter (reference pyhaspi2.py:833-841)."""
     y = fir(x, jnp.asarray([0.434173751206302, 0.434173751206302], x.dtype))
@@ -242,6 +299,9 @@ def ear_model(x24: jnp.ndarray, y24: jnp.ndarray,
         hl = jnp.zeros(6, x24.dtype)
     cfreq = center_freq(NCHAN)
     hlx = 0.0 * hl if itype == 0 else hl
+    if itype == 1:
+        # NAL-R compensated reference input (pyhaspi2.py:1176-1181)
+        x24 = nalr_apply(x24, hl)
     attn_ohc_x, bw_min_x, lowknee_x, cr_x, attn_ihc_x = loss_parameters(
         hlx, cfreq)
     attn_ohc_y, bw_min_y, lowknee_y, cr_y, attn_ihc_y = loss_parameters(
@@ -300,10 +360,10 @@ def _ear_core(mids: jnp.ndarray, bw1, side_params, cfreq, level1: float,
     (db [nchan, S, n], bm [nchan, S, n], ave [nchan, S], cave [nchan, S],
     bw_sig [nchan, S]) — *before* BM noise, group-delay compensation and
     tail masking, which depend on cross-side state (BWx)."""
-    from nelegan_tpu.ops.iir import (_fft_len_ir, gammatone_ir, one_pole_ir,
-                                     exp_sum_ir)
+    from nelegan_tpu.ops.iir import _fft_len_ir, one_pole_ir, exp_sum_ir
     n = mids.shape[-1]
     dt = mids.dtype
+    cdt = jnp.complex128 if dt == jnp.float64 else jnp.complex64
     cfreq_j = jnp.asarray(cfreq, dt)
 
     # Impulse responses decay exponentially, so they are truncated at the
@@ -342,29 +402,61 @@ def _ear_core(mids: jnp.ndarray, bw1, side_params, cfreq, level1: float,
 
     small = 1e-30
 
+    # Complex-bandpass gammatone formulation.  The reference's channel
+    # pipeline — demodulate by the carrier, lowpass both quadrature legs,
+    # remodulate (pyhaspi2.py:883-969) — is algebraically filtering by the
+    # complex bandpass h_bp[k] = h_lp[k] e^{j w_c k}: with
+    # w = h_lp * (mid e^{-j w_c t}) the code's (ur, ui) are (Re w, Im w),
+    # env = |w| = |h_bp * mid| and bm = ur cos - ui sin = Re(h_bp * mid).
+    # So ONE full FFT of the middle-ear output per side (shared by all 32
+    # channels) replaces the per-channel demod rffts, the bandpass
+    # response is evaluated in closed form on the DFT grid (the rational
+    # (1+2a u)^2/(1-a u)^4 transfer, pyhaspi2.py:871-877; u =
+    # e^{-j(w_r - w_c)}) instead of FFT-ing a materialised impulse
+    # response, and one complex ifft per filter yields env and bm with no
+    # carrier arrays at all.  Measured on v5e at [8, 73728]: ear core
+    # 126 -> see ROADMAP r5.  Closed-form-vs-truncated-IR spectra agree
+    # to the IR's own truncation tail (~5e-12 relative at l_gam = 4096).
+    omega = 2.0 * jnp.pi * jnp.arange(m_gam) / m_gam      # DFT grid
+    X_full = jnp.fft.fft(mids.astype(cdt), m_gam)         # [S, m]
+
     def channel(cf, bw1_n, bw_min_sn, aohc_sn, lk_sn, cr_sn, aihc_sn):
-        cosc, sinc = _carrier(n, cf, dt)
+        # per-channel grid trigs (static cf -> const-folded):
+        # delta = w_r - w_c;  1 - a cos(delta) is evaluated as
+        # (1-a) + 2 a sin^2(delta/2) — both terms positive, so the
+        # resonance peak (where the raw difference cancels to ~1e-3)
+        # keeps full relative precision in f32
+        delta = omega - 2.0 * jnp.pi * cf / FSAMP
+        cosd = jnp.cos(delta).astype(dt)
+        sind = jnp.sin(delta).astype(dt)
+        s2h = jnp.square(jnp.sin(0.5 * delta)).astype(dt)
 
-        def ear_side(mid, bw_min_n, aohc, lk, cr_n, aihc):
-            # carrier demodulation spectra, shared by control + signal
-            xc_f = jnp.fft.rfft(mid * cosc, m_gam)
-            xs_f = jnp.fft.rfft(mid * sinc, m_gam)
-
+        def ear_side(Xf, bw_min_n, aohc, lk, cr_n, aihc):
             def gfilter(bw):
-                a, _, _, gain = _gammatone_coeffs(bw, cf, dt)
-                h_f = jnp.fft.rfft(gammatone_ir(a, l_gam, dt), m_gam)
-                ur = jnp.fft.irfft(xc_f * h_f, m_gam)[..., :n]
-                ui = jnp.fft.irfft(xs_f * h_f, m_gam)[..., :n]
-                return gain, ur, ui
+                erb = MIN_BW + cf / EAR_Q
+                tpt_bw = bw * (2.0 * jnp.pi / FSAMP) * erb * 1.019
+                a = jnp.exp(-tpt_bw).astype(dt)
+                one_minus_a = (-jnp.expm1(-tpt_bw)).astype(dt)
+                gain = 2.0 * one_minus_a ** 4 / (1.0 + 2.0 * a) ** 2
+                num = jax.lax.complex(1.0 + 2.0 * a * cosd,
+                                      -2.0 * a * sind)
+                den1 = jax.lax.complex(one_minus_a + 2.0 * a * s2h,
+                                       a * sind)
+                den2 = den1 * den1
+                h = (num * num) / (den2 * den2)
+                w = jnp.fft.ifft(Xf * h)[..., :n]
+                return gain, w
 
             # 1e-20 inside the sqrts: sqrt'(0)=inf poisons gradients on
             # exactly-zero (padded) samples even when later masked
-            g1, ur1, ui1 = gfilter(bw1_n)
-            ctl = g1 * jnp.sqrt(ur1 * ur1 + ui1 * ui1 + 1e-20)
+            g1, w1 = gfilter(bw1_n)
+            ctl = g1 * jnp.sqrt(w1.real * w1.real + w1.imag * w1.imag
+                                + 1e-20)
             bw_sig = bw_adjust(ctl, bw_min_n, bw1_n, level1, n_valid)
-            gs, ur, ui = gfilter(bw_sig)
-            env = gs * jnp.sqrt(ur * ur + ui * ui + 1e-20)
-            bm = gs * (ur * cosc + ui * sinc)
+            gs, ws = gfilter(bw_sig)
+            env = gs * jnp.sqrt(ws.real * ws.real + ws.imag * ws.imag
+                                + 1e-20)
+            bm = gs * ws.real
 
             ave = jnp.sqrt(_masked_mean_sq(env, n_valid))
             cave = jnp.sqrt(_masked_mean_sq(ctl, n_valid))
@@ -394,7 +486,7 @@ def _ear_core(mids: jnp.ndarray, bw1, side_params, cfreq, level1: float,
 
         # all sides run as one vmapped pass (for the binaural pair this
         # halves the op count: every FFT/elementwise op is [S, ...]-batched)
-        return jax.vmap(ear_side)(mids, bw_min_sn, aohc_sn, lk_sn, cr_sn,
+        return jax.vmap(ear_side)(X_full, bw_min_sn, aohc_sn, lk_sn, cr_sn,
                                   aihc_sn)
 
     bw_min_s, aohc_s, lk_s, cr_s, aihc_s = side_params

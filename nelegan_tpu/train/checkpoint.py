@@ -38,11 +38,22 @@ def save_checkpoint(directory: str, epoch: int, state: TrainState,
         "state": fetch_pytree(state._asdict()),
         "rng": np.asarray(jax.random.key_data(rng)),
     })
-    with open(path, "wb") as f:
-        f.write(blob)
     meta = {"epoch": epoch, "replay": replay_json, "extra": extra or {}}
-    with open(path + ".json", "w") as f:
+    # atomic publication: write both files under tmp names, fsync, then
+    # rename data -> sidecar -> `latest` (a crash mid-save — now possible
+    # mid-epoch, the fetch overlaps the next epoch's compute via
+    # AsyncSaver — must never leave a truncated blob behind a live
+    # `latest`, and a sidecar must never exist without its blob)
+    with open(path + ".tmp", "wb") as f:
+        f.write(blob)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(path + ".tmp", path)
+    with open(path + ".json.tmp", "w") as f:
         json.dump(meta, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(path + ".json.tmp", path + ".json")
     latest = os.path.join(directory, "latest")
     tmp = latest + ".tmp"
     if os.path.lexists(tmp):
@@ -50,6 +61,56 @@ def save_checkpoint(directory: str, epoch: int, state: TrainState,
     os.symlink(os.path.basename(path), tmp)
     os.replace(tmp, latest)
     return path
+
+
+class AsyncSaver:
+    """Overlap save_checkpoint's device->host fetch and disk write with the
+    next epoch's compute.
+
+    The checkpoint phase cost 3.9 s/epoch — 6.5% of reference-scale wall
+    clock (r4 artifacts/train_report/timing.json) — and is pure tunnel
+    transfer (~100 MB of state at ~25-35 MB/s).  JAX arrays are immutable,
+    so the end-of-epoch state pytree is a consistent snapshot no matter
+    when the fetch runs; the next epoch's phases are compute-bound with
+    only small uploads, so the transfer rides an otherwise idle tunnel.
+
+    One save in flight at a time: `save_async` joins the previous save
+    first (bounding memory at one extra state snapshot), and `wait`
+    re-raises any background failure — callers must wait() before reading
+    checkpoints back (resume, end of run).  If the process dies mid-save
+    the atomic rename discards the partial file and `latest` still names
+    the previous epoch: elastic recovery replays one epoch, exactly like
+    a crash before the save started.
+    """
+
+    def __init__(self):
+        self._thread = None
+        self._err: Optional[BaseException] = None
+
+    def wait(self) -> None:
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        if self._err is not None:
+            err, self._err = self._err, None
+            raise err
+
+    def save_async(self, directory: str, epoch: int, state: TrainState,
+                   rng: jax.Array, replay_json: str = "[]",
+                   extra: Optional[Dict[str, Any]] = None) -> None:
+        import threading
+        self.wait()
+
+        def run():
+            try:
+                save_checkpoint(directory, epoch, state, rng, replay_json,
+                                extra)
+            except BaseException as e:  # surfaced on the next wait()
+                self._err = e
+
+        self._thread = threading.Thread(target=run, daemon=True,
+                                        name="nele-ckpt-saver")
+        self._thread.start()
 
 
 def load_checkpoint(path: str, template_state: TrainState

@@ -154,7 +154,13 @@ class Trainer:
         # the same warm-epoch transfer profile as single-chip instead of
         # re-paying uploads through the tunnel (round-3 VERDICT missing #2).
         from nelegan_tpu.metrics.clean_pool import CleanSidePool
+        from nelegan_tpu.train.checkpoint import AsyncSaver
         self._clean_side_cache = CleanSidePool(max_rows_per_shape=768)
+        # background checkpoint saver: the ~100 MB state fetch overlaps
+        # the next epoch's compute instead of stalling 3.9 s/epoch on the
+        # tunnel (round-4 VERDICT #6); waited on before resume and at the
+        # end of run()
+        self._ckpt_saver = AsyncSaver()
         # device-resident training-band pool: clean/noise band rows
         # keyed (name, bucket) and enhanced-band rows keyed
         # (enhanced_path, bucket).  G batches and D passes gather rows
@@ -219,6 +225,9 @@ class Trainer:
     def resume(self, path: Optional[str] = None,
                truncate_log: bool = False):
         from nelegan_tpu.train.checkpoint import load_checkpoint_full
+        # settle (and surface errors from) any in-flight background save
+        # before reading a checkpoint back
+        self._ckpt_saver.wait()
         path = path or self.paths.checkpoints
         # load_checkpoint_full returns the sidecar belonging to the SAME
         # file (re-deriving it from `latest` mixed epochs when resuming
@@ -299,7 +308,7 @@ class Trainer:
                                              self.cfg.train.p_power)
             wavs, _, out_lens = pipeline.enhance_batch(
                 self.state.gen_params, feats, self.cfg.train.p_power,
-                self.cfg.train.target_rms)
+                self.cfg.train.target_rms, model_cfg=self.cfg.model)
             # yield DEVICE handles: the int16 PCM samples the files will
             # hold (half the device->host bytes; byte-identical files —
             # the device quantizer replicates the writer's clip/round).
@@ -961,7 +970,7 @@ class Trainer:
         # only G/D weights mid-epoch, train_nele.py:272-277; saving after
         # the D passes makes resume exact, including the replay list)
         with self.timer.phase("checkpoint"):
-            save_checkpoint(
+            self._ckpt_saver.save_async(
                 self.paths.checkpoints, epoch, self.state, self.key,
                 self.replay.state_dict(),
                 extra={"rng_state": list(self.rng.getstate()),
@@ -981,17 +990,22 @@ class Trainer:
 
     def run(self, epochs: Optional[int] = None, verbose_timing: bool = False):
         end = (self.cfg.train.gan_epochs if epochs is None else epochs) + 1
-        for epoch in range(self.start_epoch, end):
-            before = dict(self.timer._total)
-            means = self.run_epoch(epoch)
-            print(f"Epoch {epoch} finished: "
-                  + ", ".join(f"{k}={v:.4f}" for k, v in means.items()))
-            if verbose_timing:
-                deltas = {k: self.timer._total[k] - before.get(k, 0.0)
-                          for k in self.timer._total}
-                timed = sum(deltas.values())
-                print("  phases: " + " ".join(
-                    f"{k}={v:.1f}s" for k, v in sorted(deltas.items()))
-                    + f" | untimed={means['epoch_seconds'] - timed:.1f}s")
+        try:
+            for epoch in range(self.start_epoch, end):
+                before = dict(self.timer._total)
+                means = self.run_epoch(epoch)
+                print(f"Epoch {epoch} finished: "
+                      + ", ".join(f"{k}={v:.4f}" for k, v in means.items()))
+                if verbose_timing:
+                    deltas = {k: self.timer._total[k] - before.get(k, 0.0)
+                              for k in self.timer._total}
+                    timed = sum(deltas.values())
+                    print("  phases: " + " ".join(
+                        f"{k}={v:.1f}s" for k, v in sorted(deltas.items()))
+                        + f" | untimed={means['epoch_seconds'] - timed:.1f}s")
+        finally:
+            # the final epoch's background save must be on disk before the
+            # caller reads checkpoints (or the process exits)
+            self._ckpt_saver.wait()
         if self._band_cache:  # ran at least one epoch
             print(f"phase timing: {self.timer}")

@@ -153,6 +153,24 @@ def gen_haspi():
                         ycep=ycep.astype(np.float32),
                         avecm=avecm, cfmod=cfmod)
 
+    # HL != 0 ear model + score golden (round-4 VERDICT missing #2): the
+    # reference's own README validates HL=0 only (pyHASPI/README.txt:14),
+    # but the loss-parameter / compression branches that a nonzero loss
+    # exercises (attnOHC clamp at thr, widened BW, IHC attenuation) have
+    # no coverage at HL=0.  itype stays 0 — the reference's itype=1 path
+    # calls its unimplemented eb_NALR stub (pyhaspi2.py:830-831, 1176).
+    hl_nz = np.array([30.0, 30.0, 40.0, 50.0, 60.0, 65.0])
+    xdBh, xBMh, ydBh, yBMh, xSLh, ySLh, _ = ref.eb_EarModel(
+        x24, 24000, y24, 24000, hl_nz, 0, 65)
+    v2h, v2rawh = ref.haspi_v2(x24, 24000, y24, 24000, HL=hl_nz)
+    np.savez_compressed(os.path.join(GOLDEN_DIR, "ear_model_hl.npz"),
+                        x24=x24, y24=y24, hl=hl_nz, xSL=xSLh, ySL=ySLh,
+                        xdB=xdBh.astype(np.float32),
+                        ydB=ydBh.astype(np.float32),
+                        yBM=yBMh.astype(np.float32),
+                        haspi_v2=np.float64(v2h),
+                        haspi_v2_raw=np.asarray(v2rawh))
+
     # HASPI v1 / HASQI chain goldens
     xsm = ref.eb_EnvSmooth(xdB, 16, fsamp)
     ysm = ref.eb_EnvSmooth(ydB, 16, fsamp)

@@ -106,6 +106,7 @@ def main():
         return jax.vmap(one)(jnp.asarray(cfreq, jnp.float32))
 
     dm = jax.jit(jax.vmap(demod))
+    return
     xc, xs = timed("demod 32ch (2 rfft @98304)", dm, mid)
     xc = jax.device_put(np.asarray(xc))
     xs = jax.device_put(np.asarray(xs))
