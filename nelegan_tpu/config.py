@@ -114,6 +114,14 @@ class TrainConfig:
     replay_fraction: int = 30         # past-list subsample divisor
     target_rms: float = 0.03          # output RMS normalization
     fs: int = 16000
+    # checkpoint retention: 0/0 keeps every epoch's file (the reference
+    # writes chkpt_<epoch>.pt per epoch, train_nele.py:272-277 — ~17 GB
+    # of full state over 500 epochs here).  ckpt_keep_every=N keeps
+    # epochs divisible by N plus the most recent ckpt_keep_last files;
+    # pruned epochs lose direct restorability, exactly like deleting the
+    # reference's per-epoch .pt files.
+    ckpt_keep_every: int = 0
+    ckpt_keep_last: int = 5
 
 
 @dataclasses.dataclass(frozen=True)

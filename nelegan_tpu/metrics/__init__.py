@@ -174,6 +174,7 @@ def score_corpus(clean_list, noise_list, enhanced_list, fs: int = 16000,
     """
     import jax
     import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
 
     assert fs == 16000
     n_utts = len(clean_list)
@@ -298,7 +299,6 @@ def score_corpus(clean_list, noise_list, enhanced_list, fs: int = 16000,
         def _up_raw(buf):
             a = jnp.asarray(buf)
             if mesh is not None:
-                from jax.sharding import NamedSharding, PartitionSpec as P
                 a = jax.device_put(a, NamedSharding(mesh, P("data")))
             return a
 
@@ -377,16 +377,21 @@ def score_corpus(clean_list, noise_list, enhanced_list, fs: int = 16000,
         probes: list = []  # (name, probe_dev) dispatched in metric order
 
         def _probe(name):
-            # timing only: queue a scalar probe IMMEDIATELY after this
+            # timing only: queue TWO scalar probes IMMEDIATELY after this
             # metric's dispatch, BEFORE the next metric's programs.  The
             # device executes FIFO, so a probe queued after *all* metrics
             # (the r4 layout) waits for every metric's work — BENCH_r04's
             # estoi_s=0.234 was the whole chunk's metric device time and
             # haspi_s/siib_s were pure RTT (tools/prof_corpus.py).  Fetch
-            # order at the end matches queue order, so each fetch bounds
-            # exactly its own metric.
+            # order at the end matches queue order, so the FIRST probe's
+            # fetch bounds exactly its own metric; the SECOND (adjacent in
+            # the queue, long done by then) fetches in one pure tunnel
+            # round trip, and the difference isolates device time from
+            # the instrumentation's own RTT (~26 ms/section otherwise —
+            # larger than most sections).
             if _timing is not None:
-                probes.append((name, _scalar_probe()(out[name])))
+                probes.append((name, _scalar_probe()(out[name]),
+                               _scalar_probe()(out[name])))
 
         mp = _metric_programs()
         if "estoi" in metrics:
@@ -462,7 +467,6 @@ def score_corpus(clean_list, noise_list, enhanced_list, fs: int = 16000,
             sb = -(-int(sv.max()) // bucket_quant) * bucket_quant
             sv_j = jnp.asarray(sv)
             if mesh is not None:
-                from jax.sharding import NamedSharding, PartitionSpec as P
                 sv_j = jax.device_put(sv_j, NamedSharding(mesh, P("data")))
 
             # tile + metric core fused into one jitted program (sb is a
@@ -481,15 +485,22 @@ def score_corpus(clean_list, noise_list, enhanced_list, fs: int = 16000,
         if _timing is not None:
             # fetch the per-metric probes in QUEUE order: probe_i was
             # dispatched before metric_{i+1}'s programs, so its fetch
-            # bounds exactly metric_i's device work (plus one tunnel RTT).
-            # The first timing rep of a process still pays one probe
-            # compile per distinct shape, so callers comparing sections
-            # should time a SECOND rep.
-            for m_name, pr in probes:
+            # bounds exactly metric_i's device work; subtracting the
+            # paired second probe's pure-RTT fetch leaves device time
+            # (see _probe).  The first timing rep of a process still pays
+            # one probe compile per distinct shape, so callers comparing
+            # sections should time a SECOND rep.
+            for m_name, pr, pr2 in probes:
                 _t0 = _time.perf_counter()
                 np.asarray(pr)
+                _t1 = _time.perf_counter()
+                np.asarray(pr2)
+                _t2 = _time.perf_counter()
+                dev = max((_t1 - _t0) - (_t2 - _t1), 0.0)
                 _timing[m_name + "_s"] = (_timing.get(m_name + "_s", 0.0)
-                                          + _time.perf_counter() - _t0)
+                                          + dev)
+                _timing["probe_rtt_s"] = (_timing.get("probe_rtt_s", 0.0)
+                                          + (_t2 - _t1))
 
         if mesh is not None and jax.devices()[0].platform == "cpu":
             # serialise partitioned chunk programs: XLA:CPU's in-process

@@ -440,7 +440,6 @@ def mod_filt_corr(xcep: jnp.ndarray, ycep: jnp.ndarray, count,
     offset (K-1-nhalf, reducing to nhalf for the symmetric hann kernels)
     is applied by static slices of the shared inverse transform.
     """
-    from nelegan_tpu.ops.iir import _fft_len_ir
     nsub, nbasis = xcep.shape
     cf, kernels, nhalf = _mod_filters(fsub)
     nmod = len(cf)
@@ -456,7 +455,17 @@ def mod_filt_corr(xcep: jnp.ndarray, ycep: jnp.ndarray, count,
     co = co.at[0].set(1.0)
     si = si.at[0].set(0.0)
 
-    m = _fft_len_ir(nsub, max(int(k.shape[0]) for k in kernels))
+    # POWER-OF-TWO size only: at this shape ([B, nmod, 4, nbasis, m]) the
+    # usual 3*2^k grid is pathological on the TPU FFT — measured m=12288
+    # at 37.9 ms vs m=16384 at 19.4 ms per warm 8-utt chunk (and a fused
+    # depthwise-conv formulation at 103 ms; the r4 per-band lax.conv
+    # layout at ~33 ms).  The ear core's large [B, 32, 98304] FFTs show
+    # the OPPOSITE preference (98304 beats 131072 by 1.3x) — size class
+    # matters, re-measure before changing either.
+    need = nsub + max(int(k.shape[0]) for k in kernels)
+    m = 1
+    while m < need:
+        m *= 2
     npdt = np.float64 if dt == jnp.float64 else np.float32
     # flipped-kernel spectra (correlation = convolution with the flipped
     # kernel; hann windows are symmetric, but don't rely on it)

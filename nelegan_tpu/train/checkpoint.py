@@ -26,9 +26,34 @@ from flax import serialization
 from nelegan_tpu.train.gan import TrainState
 
 
+def prune_checkpoints(directory: str, current_epoch: int,
+                      keep_every: int, keep_last: int) -> int:
+    """Delete chkpt_<e>.msgpack(+sidecar) files that are neither among the
+    keep_last most recent epochs nor divisible by keep_every.  No-op when
+    keep_every <= 0 (keep-all, reference semantics).  Returns #pruned."""
+    if keep_every <= 0:
+        return 0
+    import glob
+    import re
+    pruned = 0
+    for p in glob.glob(os.path.join(directory, "chkpt_*.msgpack")):
+        m = re.match(r"chkpt_(\d+)\.msgpack$", os.path.basename(p))
+        if not m:
+            continue
+        e = int(m.group(1))
+        if e % keep_every == 0 or e > current_epoch - keep_last:
+            continue
+        for f in (p, p + ".json"):
+            if os.path.exists(f):
+                os.remove(f)
+        pruned += 1
+    return pruned
+
+
 def save_checkpoint(directory: str, epoch: int, state: TrainState,
                     rng: jax.Array, replay_json: str = "[]",
-                    extra: Optional[Dict[str, Any]] = None) -> str:
+                    extra: Optional[Dict[str, Any]] = None,
+                    keep_every: int = 0, keep_last: int = 5) -> str:
     os.makedirs(directory, exist_ok=True)
     path = os.path.join(directory, f"chkpt_{epoch}.msgpack")
     # batched fetch: to_bytes on device arrays pulls each leaf separately
@@ -60,6 +85,7 @@ def save_checkpoint(directory: str, epoch: int, state: TrainState,
         os.remove(tmp)
     os.symlink(os.path.basename(path), tmp)
     os.replace(tmp, latest)
+    prune_checkpoints(directory, epoch, keep_every, keep_last)
     return path
 
 
@@ -97,14 +123,16 @@ class AsyncSaver:
 
     def save_async(self, directory: str, epoch: int, state: TrainState,
                    rng: jax.Array, replay_json: str = "[]",
-                   extra: Optional[Dict[str, Any]] = None) -> None:
+                   extra: Optional[Dict[str, Any]] = None,
+                   keep_every: int = 0, keep_last: int = 5) -> None:
         import threading
         self.wait()
 
         def run():
             try:
                 save_checkpoint(directory, epoch, state, rng, replay_json,
-                                extra)
+                                extra, keep_every=keep_every,
+                                keep_last=keep_last)
             except BaseException as e:  # surfaced on the next wait()
                 self._err = e
 

@@ -26,6 +26,9 @@ class ReplayBuffer:
         self.entries: List[ReplayEntry] = []
         self.rng = random.Random(seed)
 
+    def __len__(self) -> int:
+        return len(self.entries)
+
     def extend(self, entries: Sequence[ReplayEntry]):
         self.entries.extend(entries)
 

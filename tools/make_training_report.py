@@ -101,6 +101,13 @@ def main(argv=None):
     p.add_argument("--compute-dtype", default="float32",
                    choices=("float32", "bfloat16"),
                    help="model trunk activation dtype (bf16 policy A/B)")
+    p.add_argument("--recover", action="store_true",
+                   help="run under train.resilience.run_with_recovery "
+                        "(elastic resume through tunnel drops — use for "
+                        "multi-hour campaigns)")
+    p.add_argument("--ckpt-keep-every", type=int, default=0,
+                   help="checkpoint retention (0 = keep all epochs)")
+    p.add_argument("--ckpt-keep-last", type=int, default=5)
     args = p.parse_args(argv)
 
     if args.platform:
@@ -118,7 +125,8 @@ def main(argv=None):
     cfg = Config(train=TrainConfig(
         gan_epochs=args.epochs, num_sampling=args.n_train,
         num_valid=args.num_valid, batch_size=args.batch_size,
-        seed=args.seed),
+        seed=args.seed, ckpt_keep_every=args.ckpt_keep_every,
+        ckpt_keep_last=args.ckpt_keep_last),
         model=ModelConfig(compute_dtype=args.compute_dtype))
     paths = TrainPaths(
         train_clean=os.path.join(args.corpus, "Train", "Clean"),
@@ -142,7 +150,23 @@ def main(argv=None):
           flush=True)
 
     t0 = time.time()
-    trainer.run(args.epochs, verbose_timing=True)
+    if args.recover:
+        # elastic path for multi-hour campaigns: rebuild + resume on
+        # tunnel drops.  The factory resumes from the run's checkpoints
+        # when any exist; the first attempt reuses the trainer above
+        # (its baseline validation warmed the pools/compiles).
+        from nelegan_tpu.train.resilience import run_with_recovery
+        first = [trainer]
+
+        def make():
+            # run_with_recovery resumes retry attempts itself
+            return first.pop() if first else Trainer(paths, cfg,
+                                                     metric_set=METRICS)
+
+        trainer = run_with_recovery(make, epochs=args.epochs,
+                                    verbose_timing=True)
+    else:
+        trainer.run(args.epochs, verbose_timing=True)
     wall = time.time() - t0
 
     timing = trainer.timer.report()
@@ -150,11 +174,26 @@ def main(argv=None):
     best = {m: (int(max(range(len(v)), key=lambda i: v[i])) + 1,
                 float(max(v))) for m, v in history.items() if v}
 
+    # checkpoint footprint + per-epoch health telemetry (replay growth,
+    # device-pool hit rates) — round-4 VERDICT #3's long-run evidence
+    ckpt_files = [os.path.join(paths.checkpoints, n)
+                  for n in os.listdir(paths.checkpoints)
+                  if n.endswith(".msgpack")] if os.path.isdir(
+                      paths.checkpoints) else []
+    ckpt_bytes = sum(os.path.getsize(p) for p in ckpt_files)
+    footprint = {"n_checkpoints": len(ckpt_files),
+                 "total_gb": round(ckpt_bytes / 2**30, 2),
+                 "keep_every": args.ckpt_keep_every,
+                 "keep_last": args.ckpt_keep_last}
+
     with open(os.path.join(args.out, "history.json"), "w") as f:
         json.dump({"history": history, "baseline": baseline,
                    "best": best, "wall_seconds": round(wall, 1),
                    "epochs": args.epochs, "num_sampling": args.n_train,
-                   "metrics": METRICS}, f, indent=1)
+                   "metrics": METRICS,
+                   "checkpoint_footprint": footprint}, f, indent=1)
+    with open(os.path.join(args.out, "telemetry.json"), "w") as f:
+        json.dump(trainer.telemetry, f)
     with open(os.path.join(args.out, "timing.json"), "w") as f:
         json.dump(timing, f, indent=1)
     plot_curves(history, baseline,
@@ -199,6 +238,31 @@ def main(argv=None):
                             key=lambda kv: -kv[1]["total_s"]):
         lines.append(f"| {name} | {row['total_s']:.1f} | {row['count']} "
                      f"| {row['mean_s']:.2f} |")
+    if trainer.telemetry:
+        t_first, t_last = trainer.telemetry[0], trainer.telemetry[-1]
+        warm = [t for t in trainer.telemetry
+                if t["epoch"] > min(3, len(trainer.telemetry))]
+        hits = sum(t["clean_pool_hits"] for t in warm[-1:])
+        miss = sum(t["clean_pool_misses"] for t in warm[-1:])
+        lines += [
+            "",
+            "## Long-run health (telemetry.json has per-epoch rows)",
+            "",
+            f"- replay buffer: {t_first['replay_len']} entries after "
+            f"epoch {t_first['epoch']} -> {t_last['replay_len']} after "
+            f"epoch {t_last['epoch']} (the reference's past-list grows "
+            f"identically, train_nele.py:372-403; each D pass 2 samples "
+            f"len/30 of it)",
+            f"- clean-side pool at end: {hits} hits / {miss} misses "
+            f"cumulative, "
+            f"{t_last['clean_pool_bytes'] / 2**20:.0f} MiB resident; "
+            f"band pool {t_last['band_pool_bytes'] / 2**20:.0f} MiB",
+            f"- checkpoints on disk: {footprint['n_checkpoints']} files, "
+            f"{footprint['total_gb']} GiB (retention keep_every="
+            f"{footprint['keep_every']}, keep_last="
+            f"{footprint['keep_last']}; 0 = reference keep-all "
+            f"semantics, train_nele.py:272-277)",
+        ]
     with open(os.path.join(args.out, "REPORT.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
     print(f"report written to {args.out}", flush=True)
