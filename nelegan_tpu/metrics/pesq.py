@@ -478,7 +478,15 @@ def _utterance_align(ref: jnp.ndarray, deg: jnp.ndarray) -> jnp.ndarray:
              * (active & (conf > SPLIT_CONF))[:, None])       # [m, L]
 
     def slot_split(u):
-        msk = (uid == u) & active
+        # slot EXTENT (not VAD-active) mask for the coarse correlation:
+        # with the mean removed over active blocks only, content whose
+        # active blocks all carry similar energy left a near-zero masked
+        # envelope and an arbitrary coarse lag (an identical pair of
+        # repeating bursts measured d0 = 19 blocks and scored 1.08
+        # instead of 4.5 — r4 ADVICE #2).  Keeping the gap blocks'
+        # (negative, mean-removed) envelope inside the correlation gives
+        # synchronous content a dominant peak at lag 0.
+        msk = (uid == u)
         cnt = jnp.maximum(jnp.sum(msk), 1)
         # raw slot correlation: the single-delay (unsplit) coarse estimate,
         # as before the split stage existed
@@ -606,6 +614,9 @@ def _bad_interval_realign(ref, deg, frame_sym, frame_asym, fmask, gain,
     max_delta = min(MAX_DELTA, n - 1)
     ar_n = jnp.arange(n)
     idx_f = jnp.arange(t_frames)
+    # cumulative degraded energy for the SHIFTED-window gate below
+    ce_d = jnp.concatenate([jnp.zeros((1,), deg.dtype),
+                            jnp.cumsum(deg * deg)])
 
     def slot_delta(u):
         fm = rid == u                                        # [T]
@@ -622,9 +633,16 @@ def _bad_interval_realign(ref, deg, frame_sym, frame_asym, fmask, gain,
                                 jnp.arange(-max_delta, 0)])
         best = jnp.argmax(vals)
         # reliability: peak normalised by the interval energies (the ITU
-        # code's "best correlation" gate)
+        # code's "best correlation" gate).  The degraded energy comes
+        # from the window SHIFTED by the candidate lag — the same samples
+        # the peak actually correlates — so corr is Cauchy-Schwarz-bounded
+        # by 1.  Normalising by the unshifted window (r4) let a
+        # near-silent dropout window produce corr > 1 and re-align onto a
+        # neighboring identical copy, hiding its disturbance (ADVICE #1).
         e_r = jnp.sum(r_m ** 2)
-        e_d = jnp.sum(jnp.where(msk_s, deg, 0.0) ** 2)
+        lo = jnp.clip(start * HOP - lags, 0, n)
+        hi = jnp.clip(stop * HOP + N_FFT - lags, 0, n)
+        e_d = (ce_d[hi] - ce_d[lo])[best]
         corr = vals[best] / jnp.sqrt(jnp.maximum(e_r * e_d, _EPS))
         ok = qual & (corr > CORR_GATE)
         return jnp.where(ok, lags[best], 0)
