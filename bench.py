@@ -132,6 +132,20 @@ def measure_ours() -> dict:
     res["device_resident_batch"] = bw
     fw = _program_flops(step, params, dc, dn, dl)
     res["mfu_enhance_device_resident"] = _mfu(fw, dtw / STEPS)
+
+    # apples-to-apples transfer decomposition (round-4 VERDICT weak #6):
+    # the SAME batch width as the headline, device-resident — headline /
+    # this ratio is pure tunnel cost at matched program shape
+    dc16, dn16, dl16 = jax.device_put((clean_p, noise_p, lengths))
+    out = step(params, dc16, dn16, dl16)
+    np.asarray(out)
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        out = step(params, dc16, dn16, dl16)
+    np.asarray(out)
+    dt16 = time.perf_counter() - t0
+    res["device_resident_utts_per_sec_headline_batch"] = round(
+        BATCH * STEPS / dt16, 2)
     return res
 
 

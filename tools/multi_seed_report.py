@@ -35,17 +35,24 @@ sys.path.insert(0, os.path.join(REPO, "tools"))
 
 METRICS = ("siib", "haspi", "estoi", "pesq", "visqol")
 
-# variant -> (batch_size, compute_dtype, lr_g multiplier)
+# variant -> (batch_size, compute_dtype, lr_g multiplier, D metric set)
+# (validation always scores all five metrics, so variants that train
+# without a metric still report it — the A/B outcome measure is shared)
 VARIANTS = {
-    "b8_f32": (8, "float32", 1.0),       # shipped default before round 4
-    "b64_bf16": (64, "bfloat16", 1.0),   # fed-chip candidate (MFU 0.25)
-    "b64_bf16_lr4x": (64, "bfloat16", 4.0),  # linear-ish lr scaling probe
+    "b8_f32": (8, "float32", 1.0, METRICS),  # shipped default
+    "b64_bf16": (64, "bfloat16", 1.0, METRICS),  # fed-chip candidate
+    "b64_bf16_lr4x": (64, "bfloat16", 4.0, METRICS),  # lr scaling probe
+    # round-4 VERDICT weak #5: ViSQOL contributed ~0 training signal
+    # (+0.8 +/- 1.1% across all seeds/configs) — does dropping its D_Qua
+    # column (train/loop.py per-column gating) change anything?
+    "b8_f32_novisqol": (8, "float32", 1.0,
+                        ("siib", "haspi", "estoi", "pesq")),
 }
 
 
 def run_one(corpus: str, run_dir: str, seed: int, epochs: int,
             n_sampling: int, n_valid: int, batch: int, dtype: str,
-            lr_mult: float) -> dict:
+            lr_mult: float, train_metrics=METRICS) -> dict:
     from nelegan_tpu.config import Config, ModelConfig, TrainConfig
     from nelegan_tpu.train.loop import Trainer, TrainPaths
 
@@ -74,7 +81,8 @@ def run_one(corpus: str, run_dir: str, seed: int, epochs: int,
     base_path = os.path.join(run_dir, "baseline.json")
 
     def make_trainer():
-        trainer = Trainer(paths, cfg, metric_set=METRICS)
+        trainer = Trainer(paths, cfg, metric_set=train_metrics,
+                          valid_metric_set=METRICS)
         if trainer.start_epoch == 1 and not os.path.exists(base_path):
             baseline = trainer.validate(epoch=0)
             for m in METRICS:
@@ -111,9 +119,11 @@ def render_md(results: dict, out_md: str) -> None:
     for variant, runs in results["variants"].items():
         if not runs:
             continue
-        b, dt, lrm = VARIANTS[variant]
+        b, dt, lrm, tms = VARIANTS[variant]
         lines += [f"## {variant} (batch {b}, {dt}"
-                  + (f", lr_g x{lrm:g}" if lrm != 1.0 else "") + ")",
+                  + (f", lr_g x{lrm:g}" if lrm != 1.0 else "")
+                  + (f", D trains on {'/'.join(tms)}"
+                     if tms != METRICS else "") + ")",
                   "",
                   f"{len(runs)} seeds: "
                   + ", ".join(str(r['seed']) for r in runs)
@@ -172,7 +182,7 @@ def main(argv=None):
     # clock still yields complete A/B pairs for the seeds it finished
     for seed in seeds:
         for variant in args.variants.split(","):
-            b, dt, lrm = VARIANTS[variant]
+            b, dt, lrm, tms = VARIANTS[variant]
             runs = results["variants"].setdefault(variant, [])
             done = {r["seed"] for r in runs}
             if seed in done:
@@ -187,7 +197,7 @@ def main(argv=None):
                 f"{variant}_s{seed}_{args.epochs}ep_{args.n_train}n")
             print(f"[run] {variant} seed {seed} ...", flush=True)
             r = run_one(args.corpus, run_dir, seed, args.epochs,
-                        args.n_train, args.n_valid, b, dt, lrm)
+                        args.n_train, args.n_valid, b, dt, lrm, tms)
             runs.append(r)
             with open(out_json, "w") as f:
                 json.dump(results, f, indent=1)
