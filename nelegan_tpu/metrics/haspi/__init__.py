@@ -104,7 +104,7 @@ def _single_side_ear(sig24: jnp.ndarray, level1: float, n_valid):
     hl0 = jnp.zeros(6, dt)
     attn_ohc, bw_min, lowknee, cr, attn_ihc = loss_parameters(hl0, cfreq)
     _, bw1, _, _, _ = loss_parameters(jnp.full(6, 100.0, dt), cfreq)
-    mids = middle_ear(sig24)[None]                        # [1, n]
+    mids = sig24[None]        # [1, n]; middle ear applied in _ear_core
     side_params = tuple(a[:, None] for a in
                         (bw_min, attn_ohc, lowknee, cr, attn_ihc))
     db, _, _, _, bw_sig = _ear_core(mids, bw1, side_params, cfreq, level1,

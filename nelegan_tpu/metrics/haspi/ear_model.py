@@ -4,17 +4,22 @@ JAX re-architecture of the reference ear model
 (reference: pyHASPI/pyhaspi2.py:1155-1248 `eb_EarModel` and its eb_* helpers).
 The reference runs a Python loop over 32 channels, each doing 8 scipy
 lfilter passes plus numba per-sample loops at 24 kHz; here every channel runs
-in parallel under `vmap` and every IIR recurrence is a log-depth associative
-scan (ops/iir.py):
+in parallel under `vmap` and every LTI stage is spectral:
 
-  * gammatone 4th-order filter = FIR(1 + 2a z^-1)^2 followed by four cascaded
-    one-poles (the reference's [1,a1,a5]/[1,-a1,-a2,-a3,-a4] coefficients,
-    pyhaspi2.py:871-877, factor exactly this way);
-  * the quadrature carrier is closed-form cos/-sin (the numba recursion
-    eb_CosSinCF, pyhaspi2.py:843-861, computes cos(n*w), -sin(n*w));
+  * ONE shared full-spectrum FFT per side carries the middle ear
+    (closed-form rational response of the reference's FIR/one-pole/biquad
+    cascade, pyhaspi2.py:833-841) and feeds all 32 channels;
+  * the gammatone demod->lowpass->remodulate pipeline (pyhaspi2.py:883-969,
+    coefficients [1,a1,a5]/[1,-a1,-a2,-a3,-a4] from :871-877) is
+    algebraically a COMPLEX BANDPASS: the rational (1+2a u)^2/(1-a u)^4
+    response is evaluated on the carrier-shifted DFT grid (stable
+    (1-a) + 2a sin^2(d/2) resonance arithmetic) and one complex ifft per
+    filter yields envelope (|w|) and BM motion (Re w) — no carrier arrays,
+    no per-channel demod transforms (the numba eb_CosSinCF recursion,
+    :843-861, never materialises);
   * the IHC adaptation RC circuit (numba loop, pyhaspi2.py:1028-1078) is a
-    constant-coefficient 2-state linear system: we eigendecompose its update
-    matrix once at trace time, turning it into two independent one-pole scans;
+    constant-coefficient 2-state linear system: its eigendecomposition
+    gives a two-exponential impulse response applied by FFT convolution;
   * group-delay compensation uses the analytic DC group delay of the
     gammatone transfer function instead of scipy.signal.group_delay.
 
@@ -309,7 +314,7 @@ def ear_model(x24: jnp.ndarray, y24: jnp.ndarray,
     # control path: HL=100 bandwidths; cfreq1 == cfreq (reference quirk)
     _, bw1, _, _, _ = loss_parameters(jnp.full(6, 100.0, x24.dtype), cfreq)
 
-    mids = jnp.stack([middle_ear(x24), middle_ear(y24)])
+    mids = jnp.stack([x24, y24])  # middle ear applied spectrally in _ear_core
     side_params = tuple(
         jnp.stack([a, b], -1) for a, b in (
             (bw_min_x, bw_min_y), (attn_ohc_x, attn_ohc_y),
@@ -355,7 +360,9 @@ def _ear_core(mids: jnp.ndarray, bw1, side_params, cfreq, level1: float,
     """Per-channel, per-side auditory periphery shared by ear_model and the
     split clean/degraded HASPI paths.
 
-    mids: [S, n] middle-ear outputs; side_params: 5-tuple of [nchan, S]
+    mids: [S, n] RAW (rms-normalised) side signals — the middle-ear
+    filter is applied spectrally inside (see h_me below), so callers no
+    longer run middle_ear(); side_params: 5-tuple of [nchan, S]
     loss parameters (bw_min, attn_ohc, lowknee, cr, attn_ihc).  Returns
     (db [nchan, S, n], bm [nchan, S, n], ave [nchan, S], cave [nchan, S],
     bw_sig [nchan, S]) — *before* BM noise, group-delay compensation and
@@ -418,7 +425,21 @@ def _ear_core(mids: jnp.ndarray, bw1, side_params, cfreq, level1: float,
     # 126 -> see ROADMAP r5.  Closed-form-vs-truncated-IR spectra agree
     # to the IR's own truncation tail (~5e-12 relative at l_gam = 4096).
     omega = 2.0 * jnp.pi * jnp.arange(m_gam) / m_gam      # DFT grid
-    X_full = jnp.fft.fft(mids.astype(cdt), m_gam)         # [S, m]
+    # middle ear folded into the shared spectrum: the 2-tap FIR, one-pole
+    # and biquad (middle_ear, pyhaspi2.py:833-841) are LTI, so their
+    # closed-form rational response multiplies X once per side instead of
+    # running three associative scans over [S, n] (~8 ms/chunk).  The
+    # biquad's slowest pole (|p| ~ 0.937) decays below f32 noise well
+    # inside the >= l_gam zero-pad, so circular == linear here.
+    u_g = jnp.exp(-1j * omega)
+    b_me = 0.434173751206302
+    h_me = ((b_me * (1.0 + u_g))
+            / (1.0 - 0.131652497587396 * u_g)
+            * (0.937260390269893 - 1.874520780539785 * u_g
+               + 0.937260390269893 * u_g * u_g)
+            / (1.0 - 1.870580640735279 * u_g
+               + 0.878460920344291 * u_g * u_g)).astype(cdt)
+    X_full = jnp.fft.fft(mids.astype(cdt), m_gam) * h_me  # [S, m]
 
     def channel(cf, bw1_n, bw_min_sn, aohc_sn, lk_sn, cr_sn, aihc_sn):
         # per-channel grid trigs (static cf -> const-folded):
