@@ -110,3 +110,43 @@ def test_export_torch_uses_checkpoint_config(tmp_path):
     assert n_blocks == 4, sorted(sd)
     got_hidden = sd["convolutions.0.0.conv.weight"].shape[0]
     assert got_hidden == 64, got_hidden
+
+
+def test_async_saver_and_retention(tmp_path):
+    """AsyncSaver overlaps the save with caller work, surfaces background
+    failures on wait(), and the retention policy prunes to keep_every/
+    keep_last while `latest` stays valid."""
+    import os
+    from nelegan_tpu.config import ModelConfig
+    from nelegan_tpu.train.checkpoint import (AsyncSaver, load_checkpoint,
+                                              prune_checkpoints)
+    import dataclasses
+    cfg = dataclasses.replace(
+        Config(), model=ModelConfig(gen_hidden=32, gen_blocks=2,
+                                    disc_channels=(4, 8),
+                                    disc_kernels=(1, 3)))
+    state = gan.init_train_state(jax.random.PRNGKey(0), cfg)
+    saver = AsyncSaver()
+    for ep in range(1, 8):
+        saver.save_async(str(tmp_path), ep, state, jax.random.PRNGKey(ep),
+                         keep_every=5, keep_last=2)
+    saver.wait()
+    kept = sorted(int(n.split("_")[1].split(".")[0])
+                  for n in os.listdir(tmp_path)
+                  if n.endswith(".msgpack"))
+    # keep_every=5 keeps epoch 5; keep_last=2 keeps epochs 6, 7
+    assert kept == [5, 6, 7], kept
+    st2, _, epoch, _ = load_checkpoint(str(tmp_path), state)
+    assert epoch == 7
+    for x, y in zip(jax.tree.leaves(state.gen_params),
+                    jax.tree.leaves(st2.gen_params)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    # keep-all default: nothing pruned
+    assert prune_checkpoints(str(tmp_path), 7, 0, 2) == 0
+
+    # a failing background save surfaces on the next wait()
+    bad = str(tmp_path / ("x" * 300))  # exceeds NAME_MAX -> mkdir fails
+    saver.save_async(bad, 1, state, jax.random.PRNGKey(0))
+    import pytest as _pytest
+    with _pytest.raises(OSError):
+        saver.wait()
