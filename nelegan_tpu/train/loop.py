@@ -254,6 +254,8 @@ class Trainer:
         if "history" in extra:
             self.history = {k: list(v)
                             for k, v in extra["history"].items()}
+        if "telemetry" in extra:
+            self.telemetry = list(extra["telemetry"])
         # Automatic recovery re-runs the epoch after the last checkpoint;
         # drop any log lines that epoch already appended before the failure
         # so log.txt keeps exactly one line per epoch.  A *manual* resume
@@ -566,7 +568,23 @@ class Trainer:
                     for e in group]
             ep, _ = pipeline.reflect_pad_batch(enhs, blen)
             ep = self._pad_batch_rows((ep,), bs)[0]
-            return gan.speech_band(self._shard_rows(ep), self.cfg)
+            # upload PCM16 int16 where bit-exact (enhanced files are
+            # written PCM16, so this is the normal path): half the
+            # transfer bytes.  This matters beyond throughput — the
+            # remote-tunnel client RETAINS every uploaded buffer ~1:1
+            # (measured, tools/prof_leak.py), and the replay D pass
+            # re-uploads old enhanced wavs that aged out of the device
+            # pool: the 500-epoch campaign leaked ~0.5 GB/epoch of host
+            # RSS this way (OOM-killed at epoch 251 on a 125 GB box).
+            s = np.asarray(ep, np.float32) * np.float32(32768.0)
+            if ((s >= -32768) & (s <= 32767) & (s == np.round(s))).all():
+                from nelegan_tpu.metrics import _pcm16_to_f32
+                import jax.numpy as jnp
+                dev = _pcm16_to_f32(self._shard_rows(
+                    (jnp.asarray(s.astype(np.int16)),))[0])
+            else:
+                dev = self._shard_rows((ep,))[0]
+            return gan.speech_band(dev, self.cfg)
 
         return ("eb", blen), keys, compute
 
@@ -980,6 +998,7 @@ class Trainer:
                        "replay_rng": list(self.replay.rng.getstate()),
                        "loader_rng": list(self.loader.rng.getstate()),
                        "history": self.history,
+                       "telemetry": self.telemetry,
                        # model/train shape travels with the weights so
                        # restore/export never assumes Config() defaults
                        "config": config_to_dict(self.cfg)},

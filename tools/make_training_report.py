@@ -139,12 +139,25 @@ def main(argv=None):
         log_file=os.path.join(run_dir, "log.txt"))
 
     trainer = Trainer(paths, cfg, metric_set=METRICS)
-    baseline = trainer.validate(epoch=0)  # untrained generator
-    # validate() appends to history; epoch 0 is the baseline, not a curve
-    # point — pop it so curves start at epoch 1
-    for m in METRICS:
-        if trainer.history.get(m):
-            trainer.history[m].pop()
+    base_path = os.path.join(args.out, "baseline.json")
+    latest = os.path.join(paths.checkpoints, "latest")
+    if os.path.exists(latest):
+        # relaunched campaign (e.g. after a host OOM): resume from the
+        # last per-epoch checkpoint; history rides in the sidecar
+        trainer.resume(truncate_log=True)
+        print(f"resuming at epoch {trainer.start_epoch}", flush=True)
+    if os.path.exists(base_path):
+        with open(base_path) as f:
+            baseline = json.load(f)
+    else:
+        baseline = trainer.validate(epoch=0)  # untrained generator
+        # validate() appends to history; epoch 0 is the baseline, not a
+        # curve point — pop it so curves start at epoch 1
+        for m in METRICS:
+            if trainer.history.get(m):
+                trainer.history[m].pop()
+        with open(base_path, "w") as f:
+            json.dump(baseline, f)
     print(f"untrained baseline: "
           + ", ".join(f"{k}={v:.4f}" for k, v in baseline.items()),
           flush=True)
