@@ -1030,6 +1030,23 @@ class Trainer:
 
     def run(self, epochs: Optional[int] = None, verbose_timing: bool = False):
         end = (self.cfg.train.gan_epochs if epochs is None else epochs) + 1
+        # NELE_MAX_RSS_GB: exit CLEANLY (SystemExit 17, checkpoint safely
+        # on disk) when host RSS crosses the bound, so a supervisor can
+        # relaunch-and-resume.  The remote-tunnel client retains every
+        # uploaded buffer for the life of the process (tools/prof_leak.py)
+        # — at reference scale the growing replay pass leaks ~0.3-0.6
+        # GB/epoch, and only a process restart sheds it (a 500-epoch
+        # campaign OOM-killed a 125 GB host without this).
+        max_rss = float(os.environ.get("NELE_MAX_RSS_GB", "0") or 0)
+
+        def _rss_gb() -> float:
+            try:
+                with open("/proc/self/status") as f:
+                    return int([ln for ln in f if ln.startswith("VmRSS")][0]
+                               .split()[1]) / 1e6
+            except (OSError, IndexError):
+                return 0.0
+
         try:
             for epoch in range(self.start_epoch, end):
                 before = dict(self.timer._total)
@@ -1043,6 +1060,12 @@ class Trainer:
                     print("  phases: " + " ".join(
                         f"{k}={v:.1f}s" for k, v in sorted(deltas.items()))
                         + f" | untimed={means['epoch_seconds'] - timed:.1f}s")
+                if max_rss and _rss_gb() > max_rss and epoch + 1 < end:
+                    self._ckpt_saver.wait()
+                    print(f"[rss-guard] VmRSS {_rss_gb():.1f} GB > "
+                          f"{max_rss:.0f} GB after epoch {epoch}: exiting "
+                          "for a clean relaunch-resume", flush=True)
+                    raise SystemExit(17)
         finally:
             # the final epoch's background save must be on disk before the
             # caller reads checkpoints (or the process exits)
