@@ -256,6 +256,13 @@ class Trainer:
                             for k, v in extra["history"].items()}
         if "telemetry" in extra:
             self.telemetry = list(extra["telemetry"])
+        if "timing" in extra:
+            # cumulative phase wall-clock survives relaunch-resume, so a
+            # multi-segment campaign (rss-guard restarts) reports whole-run
+            # phase totals, not just the last process's
+            for k, (tot, cnt) in extra["timing"].items():
+                self.timer._total[k] = float(tot)
+                self.timer._count[k] = int(cnt)
         # Automatic recovery re-runs the epoch after the last checkpoint;
         # drop any log lines that epoch already appended before the failure
         # so log.txt keeps exactly one line per epoch.  A *manual* resume
@@ -999,6 +1006,9 @@ class Trainer:
                        "loader_rng": list(self.loader.rng.getstate()),
                        "history": self.history,
                        "telemetry": self.telemetry,
+                       "timing": {k: [self.timer._total[k],
+                                      self.timer._count[k]]
+                                  for k in self.timer._total},
                        # model/train shape travels with the weights so
                        # restore/export never assumes Config() defaults
                        "config": config_to_dict(self.cfg)},
