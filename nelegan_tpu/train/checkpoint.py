@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -109,6 +110,14 @@ class AsyncSaver:
     a crash before the save started.
     """
 
+    # in-flight saves by checkpoint directory, across ALL saver instances:
+    # a resume through a *different* AsyncSaver (a freshly constructed
+    # Trainer — tests, run_with_recovery's retry factory) must not read
+    # `latest` while another instance's background save is still flipping
+    # it, or it silently resumes one epoch early
+    _inflight: Dict[str, "threading.Thread"] = {}
+    _inflight_lock = threading.Lock()
+
     def __init__(self):
         self._thread = None
         self._err: Optional[BaseException] = None
@@ -121,12 +130,23 @@ class AsyncSaver:
             err, self._err = self._err, None
             raise err
 
+    @classmethod
+    def barrier(cls, directory: str) -> None:
+        """Join any in-flight save to `directory`, whichever saver instance
+        started it (errors still surface on the owner's wait())."""
+        if not os.path.isdir(directory):
+            directory = os.path.dirname(directory) or "."
+        with cls._inflight_lock:
+            t = cls._inflight.get(os.path.realpath(directory))
+        if t is not None:
+            t.join()
+
     def save_async(self, directory: str, epoch: int, state: TrainState,
                    rng: jax.Array, replay_json: str = "[]",
                    extra: Optional[Dict[str, Any]] = None,
                    keep_every: int = 0, keep_last: int = 5) -> None:
-        import threading
         self.wait()
+        key = os.path.realpath(directory)
 
         def run():
             try:
@@ -135,10 +155,17 @@ class AsyncSaver:
                                 keep_last=keep_last)
             except BaseException as e:  # surfaced on the next wait()
                 self._err = e
+            finally:
+                with AsyncSaver._inflight_lock:
+                    if AsyncSaver._inflight.get(key) is thread:
+                        del AsyncSaver._inflight[key]
 
-        self._thread = threading.Thread(target=run, daemon=True,
-                                        name="nele-ckpt-saver")
-        self._thread.start()
+        thread = threading.Thread(target=run, daemon=True,
+                                  name="nele-ckpt-saver")
+        with AsyncSaver._inflight_lock:
+            AsyncSaver._inflight[key] = thread
+        self._thread = thread
+        thread.start()
 
 
 def load_checkpoint(path: str, template_state: TrainState

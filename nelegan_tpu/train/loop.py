@@ -227,11 +227,16 @@ class Trainer:
     # ------------------------------------------------------------------
     def resume(self, path: Optional[str] = None,
                truncate_log: bool = False):
-        from nelegan_tpu.train.checkpoint import load_checkpoint_full
+        from nelegan_tpu.train.checkpoint import (AsyncSaver,
+                                                  load_checkpoint_full)
         # settle (and surface errors from) any in-flight background save
-        # before reading a checkpoint back
+        # before reading a checkpoint back — including one started by a
+        # DIFFERENT trainer instance writing the same run directory (a
+        # fresh Trainer resuming while its predecessor's save is still
+        # flipping `latest` would silently resume one epoch early)
         self._ckpt_saver.wait()
         path = path or self.paths.checkpoints
+        AsyncSaver.barrier(path)
         # load_checkpoint_full returns the sidecar belonging to the SAME
         # file (re-deriving it from `latest` mixed epochs when resuming
         # from an explicit older checkpoint)
